@@ -1,0 +1,29 @@
+"""hslam_tpu — a TPU-native hybrid direct-indirect monocular SLAM framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability set of H-SLAM
+(reference: /root/reference, a DSO-style sliding-window photometric odometry
+with ORB-feature-hosted candidate points, two-view indirect initialization,
+and — as declared capabilities — BoW loop closure and pose-graph relaxation).
+
+Design stance (not a port):
+  * struct-of-arrays, fixed-capacity, masked state pytrees (no pointer graphs)
+  * every numeric hot path is jit-compiled; batched over points/residuals
+  * images live on device as (I, dx, dy) pyramids
+  * multi-chip scaling via jax.sharding Mesh + shard_map/psum over point shards
+
+Subpackages:
+  utils     — Lie groups (SO3/SE3/Sim3), interpolation, robust losses
+  ops       — device kernels: pyramids, undistortion, tracking, BA, epipolar
+  models    — stateful subsystems: calib, frames, window BA, tracker, system
+  parallel  — device meshes and sharded/distributed solvers
+  io        — dataset readers (TUM-mono / EuRoC / KITTI), calib, trajectory
+"""
+
+__version__ = "0.1.0"
+
+import jax as _jax
+
+# SLAM estimation is ill-conditioned (Hessians with priors up to 1e14); the
+# TPU default of bf16 matmul inputs silently destroys it. Hot image kernels
+# that tolerate bf16 opt in explicitly at the call site.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,135 @@
+"""Bag-of-binary-words place recognition, TPU-native.
+
+Capability equivalent of the reference's vendored DBoW3
+(reference: Thirdparty/DBow3 — Vocabulary/BowVector/ScoringObject; the
+reference links it and typedefs ORBVocabulary, Include/GlobalTypes.h:217,
+but ships no trained vocabulary: loop closure is a declared capability,
+SURVEY.md §0). Re-designed for TPU:
+
+  * the vocabulary is a k^L tree of binary centroids stored as dense
+    arrays (level-major); training is batched k-medians on descriptor
+    bits (majority vote instead of DBoW3's sequential k-means++);
+  * quantization descends the tree for all descriptors in parallel —
+    per level one (N, k) Hamming distance + argmin;
+  * BoW vectors are fixed-size dense tf (term-frequency) vectors over the
+    leaf words; similarity is the DBoW3 L1 score
+    s(v, w) = 1 - 0.5 * |v/|v| - w/|w||_1.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Vocabulary(NamedTuple):
+    centroids: jnp.ndarray    # (L, max_nodes, 8) uint32 binary centroids
+    k: int                    # branching factor
+    levels: int               # tree depth
+    n_words: int              # k ** levels
+    idf: jnp.ndarray          # (n_words,) inverse document frequency
+
+
+def _popcount_dist(a, b):
+    """(N, 8) x (M, 8) uint32 -> (N, M) int32."""
+    x = jnp.bitwise_xor(a[:, None, :], b[None, :, :])
+    return jnp.sum(jnp.bitwise_count(x).astype(jnp.int32), axis=-1)
+
+
+def _majority_centroid(descs: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Bitwise majority vote over masked descriptors: (N, 8) uint32 -> (8,)."""
+    if mask.sum() == 0:
+        return descs[0]
+    bits = np.unpackbits(
+        descs[mask].view(np.uint8), axis=1, bitorder="little"
+    )
+    maj = (bits.mean(axis=0) >= 0.5).astype(np.uint8)
+    return np.packbits(maj, bitorder="little").view(np.uint32)
+
+
+def train_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 3,
+                     iters: int = 8, seed: int = 0) -> Vocabulary:
+    """Host-side k-medians tree training (one-off; numpy).
+
+    descriptors: (N, 8) uint32. Returns a Vocabulary with k^levels words.
+    """
+    rng = np.random.RandomState(seed)
+    N = len(descriptors)
+    max_nodes = k ** levels
+    cents = np.zeros((levels, max_nodes, 8), np.uint32)
+
+    def kmedians(data, kk):
+        if len(data) == 0:
+            return np.zeros((kk, 8), np.uint32), np.zeros(0, np.int64)
+        init = data[rng.choice(len(data), size=min(kk, len(data)), replace=False)]
+        c = np.zeros((kk, 8), np.uint32)
+        c[: len(init)] = init
+        assign = np.zeros(len(data), np.int64)
+        for _ in range(iters):
+            x = data[:, None, :] ^ c[None, :, :]
+            d = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+            assign = d.argmin(-1)
+            for j in range(kk):
+                c[j] = _majority_centroid(data, assign == j)
+        return c, assign
+
+    # recursive split, materialized level-major
+    groups = {(): np.arange(N)}
+    for lvl in range(levels):
+        new_groups = {}
+        for path, idx in groups.items():
+            node_base = 0
+            for d_, p in enumerate(path):
+                node_base = node_base * k + p
+            c, assign = kmedians(descriptors[idx], k)
+            # write centroids of this node's children
+            stride = k ** (levels - 1 - lvl)
+            for j in range(k):
+                cents[lvl, (node_base * k + j) * stride // max(stride, 1) * max(stride, 1) // max(stride,1) if False else (node_base * k + j), :] = c[j]
+                new_groups[path + (j,)] = idx[assign == j]
+        groups = new_groups
+
+    # idf from training data as one document per... uniform for now; the
+    # database recomputes idf online as keyframes arrive.
+    voc = Vocabulary(
+        centroids=jnp.asarray(cents),
+        k=k, levels=levels, n_words=k ** levels,
+        idf=jnp.ones(k ** levels, jnp.float32),
+    )
+    return voc
+
+
+def quantize(voc: Vocabulary, descs: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Descend the tree for all descriptors in parallel.
+
+    descs: (N, 8) uint32 -> word ids (N,) int32 (invalid -> -1)."""
+    N = descs.shape[0]
+    k = voc.k
+    node = jnp.zeros(N, jnp.int32)     # node index within its level
+    for lvl in range(voc.levels):
+        # children of `node` at this level occupy [node*k, node*k+k)
+        child_base = node * k
+        # gather the k candidate centroids per descriptor
+        cand_idx = child_base[:, None] + jnp.arange(k)[None, :]     # (N, k)
+        cands = voc.centroids[lvl][cand_idx]                        # (N, k, 8)
+        x = jnp.bitwise_xor(descs[:, None, :], cands)
+        d = jnp.sum(jnp.bitwise_count(x).astype(jnp.int32), axis=-1)
+        best = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        node = child_base + best
+    return jnp.where(valid, node, -1)
+
+
+def bow_vector(word_ids: jnp.ndarray, n_words: int) -> jnp.ndarray:
+    """tf vector (n_words,) normalized to L1=1."""
+    oh = jax.nn.one_hot(jnp.where(word_ids >= 0, word_ids, 0), n_words)
+    oh = oh * (word_ids >= 0)[:, None]
+    v = jnp.sum(oh, axis=0)
+    return v / jnp.maximum(jnp.sum(v), 1.0)
+
+
+def l1_score(v: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
+    """DBoW3 L1 scoring: s = 1 - 0.5 |v - w|_1 for L1-normalized v, w.
+    v: (n_words,), db: (M, n_words) -> (M,)."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(v[None, :] - db), axis=-1)

@@ -1,0 +1,433 @@
+"""Coarse frame-to-keyframe direct image alignment (the per-frame tracker).
+
+TPU-native re-design of the reference CoarseTracker
+(reference: Src/CoarseTracker.cpp:29-683, Include/CoarseTracker.h:14-95):
+
+  * The semi-dense inverse-depth template (`makeCoarseDepthL0`,
+    CoarseTracker.cpp:105-263) becomes dense per-level maps
+    (idepth, color, valid) built by scatter-add + 2x2 sum pooling +
+    one masked dilation pass — no compaction: the residual pass evaluates
+    every pixel under a validity mask, which on TPU is cheaper than
+    gather-compacting (the maps are small and the pass is bandwidth-bound).
+  * `calcRes` + `calcGSSSE` (CoarseTracker.cpp:329-485, 267-324) fuse into a
+    single pass `residual_pass` producing (E, n, nSat, flow, H, b) in one
+    sweep — one warp+gather per LM iteration instead of two.
+  * The per-level LM loop (CoarseTracker.cpp:559-646) is a lax.fori_loop
+    with branchless accept/reject via jnp.where; the adaptive
+    cutoff-doubling repeat (CoarseTracker.cpp:532-539) is a small
+    lax.while_loop on the cutoff scalar.
+
+State conventions match the reference: pose is refToNew (SE3 as (R, t)),
+affine is the new frame's (a, b) global-to-local; the relative affine
+(a_rel, b_rel) comes from AffLight::fromToVecExposure
+(GlobalTypes.h:334-346). The GN state ordering and diagonal preconditioner
+replicate calcGSSSE (including the reference's rot/trans scale swap in the
+tracker, CoarseTracker.cpp:312-323 vs. 596-600 — net effect: translation
+columns scaled by SCALE_XI_ROT=1, rotation by SCALE_XI_TRANS=0.5).
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config, SCALE_A, SCALE_B, SCALE_XI_ROT, SCALE_XI_TRANS
+from ..utils import lie
+
+# tracker state preconditioner, applied as inc_actual = PRECOND * inc_scaled
+# ordering: [trans(3), rot(3), a, b] — see module docstring on the swap.
+_PRECOND = jnp.array(
+    [SCALE_XI_ROT] * 3 + [SCALE_XI_TRANS] * 3 + [SCALE_A, SCALE_B],
+    dtype=jnp.float32,
+)
+
+
+class Template(NamedTuple):
+    """Per-level dense tracking template (lists indexed by level)."""
+
+    idepth: List[jnp.ndarray]   # (Hl, Wl) inverse depth
+    color: List[jnp.ndarray]    # (Hl, Wl) reference intensity
+    valid: List[jnp.ndarray]    # (Hl, Wl) bool
+
+
+def rel_affine(exp_ref: jnp.ndarray, exp_new: jnp.ndarray,
+               aff_ref: jnp.ndarray, aff_new: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """AffLight::fromToVecExposure (GlobalTypes.h:334-346):
+    a = exp(a_new - a_ref) * t_new / t_ref ; b = b_new - a * b_ref.
+    Exposures of 0 are treated as 1."""
+    t_ref = jnp.where(exp_ref == 0, 1.0, exp_ref)
+    t_new = jnp.where(exp_new == 0, 1.0, exp_new)
+    a = jnp.exp(aff_new[0] - aff_ref[0]) * t_new / t_ref
+    b = aff_new[1] - a * aff_ref[1]
+    return a, b
+
+
+def build_template(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    idepth: jnp.ndarray,
+    weight: jnp.ndarray,
+    point_valid: jnp.ndarray,
+    ref_pyr: List[jnp.ndarray],
+) -> Template:
+    """Build the per-level template from active points projected into the
+    reference keyframe (reference makeCoarseDepthL0, CoarseTracker.cpp:105-263).
+
+    Args:
+      u, v: (P,) level-0 projected pixel coordinates (centerProjectedTo).
+      idepth: (P,) projected inverse depth in the reference frame.
+      weight: (P,) scatter weights sqrt(1e-3 / (HdiF + 1e-12)).
+      point_valid: (P,) bool — point active and last residual IN.
+      ref_pyr: reference frame direct pyramid [(Hl, Wl, 3)] for colors.
+    """
+    H0, W0 = ref_pyr[0].shape[:2]
+    n_levels = len(ref_pyr)
+
+    ui = jnp.clip((u + 0.5).astype(jnp.int32), 0, W0 - 1)
+    vi = jnp.clip((v + 0.5).astype(jnp.int32), 0, H0 - 1)
+    w_eff = jnp.where(point_valid, weight, 0.0)
+
+    flat_idx = vi * W0 + ui
+    id_map = jnp.zeros(H0 * W0, jnp.float32).at[flat_idx].add(w_eff * idepth)
+    w_map = jnp.zeros(H0 * W0, jnp.float32).at[flat_idx].add(w_eff)
+    id_map = id_map.reshape(H0, W0)
+    w_map = w_map.reshape(H0, W0)
+
+    idepths, colors, valids = [], [], []
+    for lvl in range(n_levels):
+        if lvl > 0:
+            # 2x2 SUM pooling of both numerator and weight (CoarseTracker.cpp:132-157)
+            Hc, Wc = id_map.shape
+            H2, W2 = Hc // 2, Wc // 2
+            id_map = id_map[: H2 * 2, : W2 * 2].reshape(H2, 2, W2, 2).sum(axis=(1, 3))
+            w_map = w_map[: H2 * 2, : W2 * 2].reshape(H2, 2, W2, 2).sum(axis=(1, 3))
+
+        # one dilation pass: diagonal neighbors at lvl<2, 4-neighborhood above
+        # (CoarseTracker.cpp:160-213)
+        if lvl < 2:
+            shifts = [(1, 1), (-1, -1), (1, -1), (-1, 1)]
+        else:
+            shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+        has = w_map > 0
+        sum_id = jnp.zeros_like(id_map)
+        sum_w = jnp.zeros_like(w_map)
+        cnt = jnp.zeros_like(w_map)
+        for dy, dx in shifts:
+            sh_w = jnp.roll(w_map, (-dy, -dx), axis=(0, 1))
+            sh_id = jnp.roll(id_map, (-dy, -dx), axis=(0, 1))
+            ok = sh_w > 0
+            sum_id = sum_id + jnp.where(ok, sh_id, 0.0)
+            sum_w = sum_w + jnp.where(ok, sh_w, 0.0)
+            cnt = cnt + ok.astype(jnp.float32)
+        fill = (~has) & (cnt > 0)
+        safe_cnt = jnp.maximum(cnt, 1.0)
+        id_map = jnp.where(fill, sum_id / safe_cnt, id_map)
+        w_map = jnp.where(fill, sum_w / safe_cnt, w_map)
+
+        # normalize (CoarseTracker.cpp:216-261)
+        Hl, Wl = id_map.shape
+        ys = jnp.arange(Hl)[:, None]
+        xs = jnp.arange(Wl)[None, :]
+        border_ok = (ys >= 2) & (ys < Hl - 2) & (xs >= 2) & (xs < Wl - 2)
+        idl = jnp.where(w_map > 0, id_map / jnp.maximum(w_map, 1e-12), -1.0)
+        color = ref_pyr[lvl][..., 0]
+        ok = (w_map > 0) & (idl > 0) & border_ok & jnp.isfinite(color)
+
+        idepths.append(idl)
+        colors.append(color)
+        valids.append(ok)
+        # next-level pooling uses the *dilated, un-normalized* maps, matching
+        # the reference order? No: the reference pools the raw scatter maps
+        # level-by-level BEFORE dilation (dilation happens after all pooling).
+    return Template(idepth=idepths, color=colors, valid=valids)
+
+
+class TrackResult(NamedTuple):
+    R: jnp.ndarray                  # (3,3) refToNew rotation
+    t: jnp.ndarray                  # (3,)
+    aff: jnp.ndarray                # (2,) new-frame (a, b)
+    ok: jnp.ndarray                 # () bool
+    residuals: jnp.ndarray          # (L,) per-level final RMSE
+    flow: jnp.ndarray               # (3,) flow indicators [T, 0, RT]
+
+
+def _residual_pass(tmpl_id, tmpl_color, tmpl_valid, target_img,
+                   K_lvl, R, t, a_rel, b_rel, b0, cutoff, huber_th,
+                   compute_flow: bool):
+    """One fused sweep over a level: warp every valid template pixel, gather
+    target intensity+gradient, form robust residuals and the 8x8 GN system.
+
+    Replaces calcRes + calcGSSSE (CoarseTracker.cpp:329-485, 267-324).
+    Returns (E, n_terms, n_sat, H (8,8), b (8,), flowT, flowRT, flowN).
+    """
+    Hl, Wl = tmpl_id.shape
+    fx, fy, cx, cy = K_lvl[0], K_lvl[1], K_lvl[2], K_lvl[3]
+
+    ys = jnp.arange(Hl, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(Wl, dtype=jnp.float32)[None, :]
+    xs = jnp.broadcast_to(xs, (Hl, Wl))
+    ys = jnp.broadcast_to(ys, (Hl, Wl))
+
+    idp = tmpl_id
+    # back-project with K^-1, rotate, translate (RKi * (x,y,1) + t*id)
+    px = (xs - cx) / fx
+    py = (ys - cy) / fy
+    X = R[0, 0] * px + R[0, 1] * py + R[0, 2] + t[0] * idp
+    Y = R[1, 0] * px + R[1, 1] * py + R[1, 2] + t[1] * idp
+    Z = R[2, 0] * px + R[2, 1] * py + R[2, 2] + t[2] * idp
+
+    Zs = jnp.where(jnp.abs(Z) < 1e-12, 1e-12, Z)
+    u = X / Zs
+    v = Y / Zs
+    Ku = fx * u + cx
+    Kv = fy * v + cy
+    new_idepth = idp / Zs
+
+    in_bounds = (Ku > 2) & (Kv > 2) & (Ku < Wl - 3) & (Kv < Hl - 3) & (new_idepth > 0)
+    mask = tmpl_valid & in_bounds
+
+    # gather target intensity + gradients (precomputed dI channels)
+    Kuc = jnp.clip(Ku, 0.0, Wl - 1.001)
+    Kvc = jnp.clip(Kv, 0.0, Hl - 1.001)
+    ix = jnp.clip(jnp.floor(Kuc).astype(jnp.int32), 0, Wl - 2)
+    iy = jnp.clip(jnp.floor(Kvc).astype(jnp.int32), 0, Hl - 2)
+    dx_f = Kuc - ix.astype(jnp.float32)
+    dy_f = Kvc - iy.astype(jnp.float32)
+    flat = target_img.reshape(Hl * Wl, 3)
+    base = iy * Wl + ix
+    p00 = flat[base.reshape(-1)].reshape(Hl, Wl, 3)
+    p01 = flat[(base + 1).reshape(-1)].reshape(Hl, Wl, 3)
+    p10 = flat[(base + Wl).reshape(-1)].reshape(Hl, Wl, 3)
+    p11 = flat[(base + Wl + 1).reshape(-1)].reshape(Hl, Wl, 3)
+    wx = dx_f[..., None]
+    wy = dy_f[..., None]
+    hit = (p00 * (1 - wx) + p01 * wx) * (1 - wy) + (p10 * (1 - wx) + p11 * wx) * wy
+
+    hit_I, hit_dx, hit_dy = hit[..., 0], hit[..., 1], hit[..., 2]
+    mask = mask & jnp.isfinite(hit_I)
+
+    refc = tmpl_color
+    residual = hit_I - (a_rel * refc + b_rel)
+    abs_r = jnp.abs(residual)
+    hw = jnp.where(abs_r < huber_th, 1.0, huber_th / jnp.maximum(abs_r, 1e-12))
+
+    saturated = (abs_r > cutoff) & mask
+    inlier = mask & ~saturated
+
+    max_energy = 2.0 * huber_th * cutoff - huber_th * huber_th
+    E = jnp.sum(
+        jnp.where(inlier, hw * residual * residual * (2.0 - hw), 0.0)
+        + jnp.where(saturated, max_energy, 0.0)
+    )
+    n_terms = jnp.sum(mask.astype(jnp.float32))
+    n_sat = jnp.sum(saturated.astype(jnp.float32))
+
+    # GN system over inliers: J rows (CoarseTracker.cpp:284-305)
+    m = inlier.astype(jnp.float32)
+    gdx = hit_dx * fx
+    gdy = hit_dy * fy
+    J = jnp.stack(
+        [
+            new_idepth * gdx,
+            new_idepth * gdy,
+            -new_idepth * (u * gdx + v * gdy),
+            -(u * v * gdx + (1.0 + v * v) * gdy),
+            u * v * gdy + (1.0 + u * u) * gdx,
+            u * gdy - v * gdx,
+            a_rel * (b0 - refc),
+            -jnp.ones_like(refc),
+        ],
+        axis=-1,
+    )  # (Hl, Wl, 8)
+    wt = (hw * m)[..., None]
+    Jw = J * wt
+    Jf = J.reshape(-1, 8)
+    Jwf = Jw.reshape(-1, 8)
+    Hmat = Jf.T @ Jwf                                  # (8, 8) MXU
+    bvec = Jf.T @ (residual * hw * m).reshape(-1)      # J^T W r
+
+    if compute_flow:
+        # flow indicators over every valid template pixel (reference samples
+        # every 32nd at level 0, CoarseTracker.cpp:384-415; dense here)
+        tx = px + t[0] * idp
+        ty = py + t[1] * idp
+        tz = 1.0 + t[2] * idp
+        tzs = jnp.where(jnp.abs(tz) < 1e-12, 1e-12, tz)
+        KuT = fx * tx / tzs + cx
+        KvT = fy * ty / tzs + cy
+        tx2 = px - t[0] * idp
+        ty2 = py - t[1] * idp
+        tz2 = 1.0 - t[2] * idp
+        tz2s = jnp.where(jnp.abs(tz2) < 1e-12, 1e-12, tz2)
+        KuT2 = fx * tx2 / tz2s + cx
+        KvT2 = fy * ty2 / tz2s + cy
+        X3 = X - 2.0 * t[0] * idp
+        Y3 = Y - 2.0 * t[1] * idp
+        Z3 = Z - 2.0 * t[2] * idp
+        Z3s = jnp.where(jnp.abs(Z3) < 1e-12, 1e-12, Z3)
+        Ku3 = fx * X3 / Z3s + cx
+        Kv3 = fy * Y3 / Z3s + cy
+        fm = tmpl_valid.astype(jnp.float32)
+        fn = jnp.sum(fm)
+        shiftT = jnp.sum(fm * ((KuT - xs) ** 2 + (KvT - ys) ** 2
+                               + (KuT2 - xs) ** 2 + (KvT2 - ys) ** 2))
+        shiftRT = jnp.sum(fm * ((Ku - xs) ** 2 + (Kv - ys) ** 2
+                                + (Ku3 - xs) ** 2 + (Kv3 - ys) ** 2))
+        flowT = shiftT / (2.0 * fn + 0.1)
+        flowRT = shiftRT / (2.0 * fn + 0.1)
+    else:
+        flowT = jnp.float32(0.0)
+        flowRT = jnp.float32(0.0)
+
+    return E, n_terms, n_sat, Hmat, bvec, flowT, flowRT
+
+
+def track_coarse(
+    template: Template,
+    target_pyr: List[jnp.ndarray],
+    K_pyr: jnp.ndarray,             # (L, 4) [fx, fy, cx, cy] per level
+    R0: jnp.ndarray,
+    t0: jnp.ndarray,
+    aff0: jnp.ndarray,              # (2,) initial new-frame (a, b)
+    exp_ref: jnp.ndarray,
+    exp_new: jnp.ndarray,
+    aff_ref: jnp.ndarray,           # (2,) reference keyframe (a, b)
+    cfg: Config,
+    coarsest_lvl: int | None = None,
+    min_res_for_abort: jnp.ndarray | None = None,
+) -> TrackResult:
+    """Full coarse-to-fine LM alignment, one motion hypothesis.
+
+    Mirrors trackNewestCoarse (CoarseTracker.cpp:506-683) including the
+    cutoff-doubling repeat, per-level iteration caps, lambda schedule,
+    extrapolation factor, early-abort vs. min_res_for_abort, and the affine
+    sanity rejection at the end.
+    """
+    n_levels = len(target_pyr)
+    if coarsest_lvl is None:
+        coarsest_lvl = n_levels - 1
+    if min_res_for_abort is None:
+        min_res_for_abort = jnp.full((n_levels,), jnp.inf, jnp.float32)
+
+    huber = jnp.float32(cfg.huber_th)
+    b0_ref = aff_ref[1]
+    max_iters = cfg.tracker_iters_per_level
+
+    R, t, aff = R0, t0, aff0
+    ok = jnp.bool_(True)
+    level_res = [jnp.float32(jnp.nan)] * n_levels
+    flow = jnp.array([1000.0, 0.0, 1000.0], jnp.float32)
+    have_repeated = jnp.bool_(False)
+
+    def run_level(lvl, R, t, aff, active):
+        """One level of LM. `active` masks out the whole level (early abort)."""
+        tmpl_id = template.idepth[lvl]
+        tmpl_c = template.color[lvl]
+        tmpl_v = template.valid[lvl]
+        timg = target_pyr[lvl]
+        K_lvl = K_pyr[lvl]
+
+        def res_at(R_, t_, aff_, cutoff, with_flow=False):
+            a_rel, b_rel = rel_affine(exp_ref, exp_new, aff_ref, aff_)
+            return _residual_pass(
+                tmpl_id, tmpl_c, tmpl_v, timg, K_lvl, R_, t_,
+                a_rel, b_rel, b0_ref, cutoff, huber, with_flow,
+            )
+
+        # adaptive cutoff doubling (CoarseTracker.cpp:530-539)
+        base_cut = jnp.float32(cfg.coarse_cutoff_th)
+
+        def cut_cond(carry):
+            cut_rep, E, n, nsat, _, _ = carry
+            sat_ratio = nsat / jnp.maximum(n, 1.0)
+            return (sat_ratio > 0.6) & (cut_rep < 50.0)
+
+        def cut_body(carry):
+            cut_rep, *_ = carry
+            cut_rep = cut_rep * 2.0
+            E, n, nsat, Hm, bv, *_ = res_at(R, t, aff, base_cut * cut_rep)
+            return (cut_rep, E, n, nsat, Hm, bv)
+
+        E0, n0, nsat0, H0m, b0v, *_ = res_at(R, t, aff, base_cut)
+        cut_rep, E, n, nsat, Hm, bv = jax.lax.while_loop(
+            cut_cond, cut_body, (jnp.float32(1.0), E0, n0, nsat0, H0m, b0v)
+        )
+        cutoff = base_cut * cut_rep
+
+        def lm_body(it, carry):
+            R_c, t_c, aff_c, Hc, bc, Ec, nc, lam, done = carry
+            # NOTE: the reference scales H/b by the SCALE_* diagonal, solves,
+            # then multiplies the step by the same diagonal
+            # (CoarseTracker.cpp:312-323, 596-600) — that round-trip is the
+            # identity, so we solve directly in natural units.
+            Hl_ = Hc + jnp.diag(jnp.diag(Hc)) * lam
+            inc = jnp.linalg.solve(Hl_, -bc)
+            extrap = jnp.where(
+                lam < 0.001, jnp.sqrt(jnp.sqrt(0.001 / jnp.maximum(lam, 1e-12))), 1.0
+            )
+            inc_scaled = inc * extrap
+            inc_scaled = jnp.where(jnp.isfinite(jnp.sum(inc_scaled)), inc_scaled, 0.0)
+
+            dR, dt = lie.se3_exp(inc_scaled[:6])
+            R_new, t_new = lie.se3_mul(dR, dt, R_c, t_c)
+            aff_new = aff_c + inc_scaled[6:8]
+
+            E_new, n_new, _, H_new, b_new, *_ = res_at(R_new, t_new, aff_new, cutoff)
+            accept = (E_new / jnp.maximum(n_new, 1.0)) < (Ec / jnp.maximum(nc, 1.0))
+            step = accept & ~done
+
+            R_c = jnp.where(step, R_new, R_c)
+            t_c = jnp.where(step, t_new, t_c)
+            aff_c = jnp.where(step, aff_new, aff_c)
+            Hc = jnp.where(step, H_new, Hc)
+            bc = jnp.where(step, b_new, bc)
+            Ec = jnp.where(step, E_new, Ec)
+            nc = jnp.where(step, n_new, nc)
+            lam = jnp.where(done, lam,
+                            jnp.where(accept, lam * 0.5,
+                                      jnp.maximum(lam * 4.0, 0.001)))
+            # convergence test in the reference's scaled units
+            # (CoarseTracker.cpp:640: inc.norm() on the preconditioned step)
+            done = done | (jnp.linalg.norm(inc_scaled / _PRECOND) <= 1e-3)
+            return (R_c, t_c, aff_c, Hc, bc, Ec, nc, lam, done)
+
+        init = (R, t, aff, Hm, bv, E, n, jnp.float32(0.01), ~active)
+        R_f, t_f, aff_f, _, _, E_f, n_f, _, _ = jax.lax.fori_loop(
+            0, max_iters[min(lvl, len(max_iters) - 1)], lm_body, init
+        )
+
+        # final stats with flow indicators
+        E_fin, n_fin, _, _, _, flowT, flowRT = res_at(R_f, t_f, aff_f, cutoff, True)
+        rmse = jnp.sqrt(E_fin / jnp.maximum(n_fin, 1.0))
+        return R_f, t_f, aff_f, rmse, jnp.stack([flowT, jnp.float32(0.0), flowRT]), cut_rep
+
+    for lvl in range(coarsest_lvl, -1, -1):
+        R_n, t_n, aff_n, rmse, flow_n, cut_rep = run_level(lvl, R, t, aff, ok)
+        R = jnp.where(ok, R_n, R)
+        t = jnp.where(ok, t_n, t)
+        aff = jnp.where(ok, aff_n, aff)
+        level_res[lvl] = jnp.where(ok, rmse, level_res[lvl])
+        flow = jnp.where(ok, flow_n, flow)
+        abort_lvl = min(lvl, min_res_for_abort.shape[0] - 1)
+        ok = ok & ~(rmse > 1.5 * min_res_for_abort[abort_lvl])
+
+        # repeat-level-once (CoarseTracker.cpp:654-659): if the cutoff was
+        # raised, rerun the same level once with the converged state.
+        repeat = ok & (cut_rep > 1.0) & ~have_repeated
+        have_repeated = have_repeated | repeat
+        R_r, t_r, aff_r, rmse_r, flow_r, _ = run_level(lvl, R, t, aff, repeat)
+        R = jnp.where(repeat, R_r, R)
+        t = jnp.where(repeat, t_r, t)
+        aff = jnp.where(repeat, aff_r, aff)
+        level_res[lvl] = jnp.where(repeat, rmse_r, level_res[lvl])
+        flow = jnp.where(repeat, flow_r, flow)
+
+    # affine sanity rejection (CoarseTracker.cpp:667-675)
+    a_rel, b_rel = rel_affine(exp_ref, exp_new, aff_ref, aff)
+    ok = ok & (jnp.abs(aff[0]) <= 1.2) & (jnp.abs(aff[1]) <= 200.0)
+
+    return TrackResult(
+        R=R, t=t, aff=aff, ok=ok,
+        residuals=jnp.stack(level_res), flow=flow,
+    )

@@ -1,0 +1,85 @@
+"""Distributed windowed BA: point-sharded linearization with psum-reduced
+camera systems.
+
+The scaling story the reference lacks (SURVEY.md §2.8 item 6, §5): residual
+linearization and Hessian accumulation are embarrassingly parallel over
+points, so points shard across the device mesh; the (4+8F)^2 camera system
+and the Schur terms are psum-reduced over ICI, each device solves the tiny
+replicated system, and idepth back-substitution stays local to the shard.
+One step == one GN iteration of models/optimizer.ba_optimize.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..config import CPARS, Config
+from ..models import window as W
+from ..models.calib import Calib
+from ..models.optimizer import _prior_vectors, _slot_mask, _stitched_delta, solve_camera_system
+from ..ops import ba
+
+
+def sharded_ba_step(mesh: Mesh, wnd: W.Window, calib: Calib, cfg: Config):
+    """Run one point-sharded GN step on `mesh` (axis name 'points').
+
+    Returns (rmse, new frame states, idepth steps)."""
+    F = cfg.max_frames
+
+    pts_spec = W.Points(
+        status=P("points"), host=P("points"), u=P("points"), v=P("points"),
+        idepth=P("points"), idepth_zero=P("points"),
+        color=P("points", None), weight=P("points", None),
+        prior=P("points"), res_state=P("points", None),
+        max_rel_baseline=P("points"), num_good_res=P("points"),
+        idepth_hessian=P("points"),
+    )
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pts_spec, jax.tree.map(lambda _: P(), wnd.frames),
+                  jax.tree.map(lambda _: P(), calib), P(), P()),
+        out_specs=(P(), P(), P("points")),
+        check_vma=False,
+    )
+    def step(points, frames, calib_, HM, bM):
+        lin = ba.linearize(frames, points, calib_, cfg)
+        grid = (
+            (points.status == W.PT_ACTIVE)[:, None]
+            & frames.valid[None, :]
+            & (points.host[:, None] != jnp.arange(F)[None, :])
+        )
+        active = grid & (lin.new_state == W.RES_IN)
+        AH, AT = ba.compute_adjoints(frames)
+        sys = ba.accumulate(lin, active, points.host, AH, AT, F)
+
+        pt_active = (points.status == W.PT_ACTIVE) & (jnp.sum(active, axis=1) > 0)
+        H_sc_loc, b_sc_loc, HdiF = ba.schur_complement(sys, points.prior, pt_active)
+
+        # reduce the camera system over the point shards (rides ICI)
+        H = jax.lax.psum(sys.H, "points")
+        b = jax.lax.psum(sys.b, "points")
+        H_sc = jax.lax.psum(H_sc_loc, "points")
+        b_sc = jax.lax.psum(b_sc_loc, "points")
+        E = jax.lax.psum(jnp.sum(jnp.where(active, lin.energy, 0.0)), "points")
+        n_res = jax.lax.psum(jnp.sum(active), "points")
+
+        delta = _stitched_delta(frames, calib_)
+        prior_diag, prior_b = _prior_vectors(frames, calib_, cfg)
+        ns = ba.nullspaces(frames)
+        x = solve_camera_system(
+            H, b, H_sc, b_sc, HM, bM, delta, prior_diag, prior_b,
+            _slot_mask(frames), ns, jnp.float32(cfg.fix_lambda),
+            jnp.bool_(False), cfg,
+        )
+        d_step = ba.resubstitute(sys, HdiF, x)
+        rmse = jnp.sqrt(E / jnp.maximum(8.0 * n_res, 1.0))
+        new_state = frames.state - (x[CPARS:].reshape(F, 8) * frames.valid[:, None])
+        return rmse, new_state, d_step
+
+    return step(wnd.points, wnd.frames, calib, wnd.HM, wnd.bM)

@@ -1,0 +1,150 @@
+"""Run the full SLAM system on a dataset (or a synthetic sequence).
+
+Usage:
+    python scripts/run_sequence.py --synthetic 60        # N synthetic frames
+    python scripts/run_sequence.py --dataset /path/to/euroc_seq [--out traj.txt]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def synthetic_sequence(n_frames, h=240, w=320):
+    """Textured plane + a second depth layer, smooth camera arc."""
+    import jax
+    import jax.numpy as jnp
+
+    from hslam_tpu.utils import lie
+    from hslam_tpu.utils.interp import bilinear
+
+    fx = fy = 160.0
+    cx, cy = w / 2 - 0.5, h / 2 - 0.5
+    depth = 2.0
+
+    key = jax.random.PRNGKey(3)
+    ky, kx = jax.random.uniform(key, (2, 8), minval=0.5, maxval=6.5)
+    ph = jax.random.uniform(jax.random.fold_in(key, 1), (8,)) * 6.28
+    amps = jnp.array([35.0, 30.0, 22.0, 18.0, 14.0, 10.0, 8.0, 6.0])
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    I0 = 120.0 + sum(
+        amps[i] * jnp.sin(2 * jnp.pi * (kx[i] * xs / w + ky[i] * ys / h) + ph[i])
+        for i in range(8)
+    )
+    I0 = I0.astype(jnp.float32)
+
+    def render(Rf, tf):
+        px = (xs - cx) / fx
+        py = (ys - cy) / fy
+        Rinv, tinv = lie.se3_inverse(Rf, tf)
+        dz = Rinv[2, 0] * px + Rinv[2, 1] * py + Rinv[2, 2]
+        s = (depth - tinv[2]) / dz
+        X = s * (Rinv[0, 0] * px + Rinv[0, 1] * py + Rinv[0, 2]) + tinv[0]
+        Y = s * (Rinv[1, 0] * px + Rinv[1, 1] * py + Rinv[1, 2]) + tinv[1]
+        u0 = fx * X / depth + cx
+        v0 = fy * Y / depth + cy
+        return np.asarray(bilinear(I0, u0, v0))
+
+    frames = []
+    poses = []
+    for i in range(n_frames):
+        t = i / 30.0
+        xi = jnp.array(
+            [0.25 * np.sin(0.5 * t), 0.12 * (1 - np.cos(0.5 * t)), 0.06 * t,
+             0.02 * np.sin(0.4 * t), 0.03 * t, 0.01 * np.sin(0.3 * t)]
+        )
+        R, tt = lie.se3_exp(xi)   # worldToCam
+        frames.append(render(R, tt))
+        poses.append((np.asarray(R), np.asarray(tt)))
+    return frames, poses, (fx, fy, cx, cy, w, h)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--dataset", type=str, default=None)
+    ap.add_argument("--out", type=str, default="/tmp/traj.txt")
+    ap.add_argument("--max-frames", type=int, default=0)
+    args = ap.parse_args()
+
+    from hslam_tpu.config import Config
+    from hslam_tpu.models.system import SLAMSystem
+    from hslam_tpu.io.trajectory import write_tum, ate_rmse
+
+    if args.synthetic:
+        frames, gt_poses, (fx, fy, cx, cy, w, h) = synthetic_sequence(args.synthetic)
+        cfg = Config(max_frames=8, max_points=2048, max_immature=2048,
+                     max_features=2048, pyr_levels=4)
+        sys_ = SLAMSystem(fx, fy, cx, cy, w, h, cfg)
+        t0 = time.time()
+        for i, img in enumerate(frames):
+            sys_.process_frame(img, i / 30.0)
+            if sys_.is_lost:
+                print(f"LOST at frame {i}")
+                break
+        dt = time.time() - t0
+        print(f"processed {len(frames)} frames in {dt:.1f}s "
+              f"({len(frames)/dt:.1f} fps), {sys_.next_kf_id} keyframes, "
+              f"initialized={sys_.initialized}")
+
+        # ATE vs ground truth (sim3-aligned, KF poses only)
+        est, gt = [], []
+        for s in sys_.shells:
+            if s.pose_valid and s.id < len(gt_poses):
+                est.append(s.cam_to_world[:3, 3])
+                R, t = gt_poses[s.id]
+                Tcw = np.eye(4)
+                Tcw[:3, :3], Tcw[:3, 3] = R, t
+                gt.append(np.linalg.inv(Tcw)[:3, 3])
+        if len(est) > 5 and sys_.initialized:
+            err = ate_rmse(np.array(gt), np.array(est))
+            print(f"ATE RMSE (sim3-aligned): {err:.4f} (scene depth = 2.0)")
+        write_tum(args.out, [s.timestamp for s in sys_.shells],
+                  [(s.cam_to_world[:3, :3], s.cam_to_world[:3, 3])
+                   for s in sys_.shells])
+    else:
+        from hslam_tpu.io.dataset import DatasetReader
+
+        rd = DatasetReader(args.dataset)
+        cam = rd.camera
+        K = cam.out_K
+        cfg = Config()
+        sys_ = SLAMSystem(K[0, 0], K[1, 1], K[0, 2], K[1, 2],
+                          cam.out_size[0], cam.out_size[1], cfg)
+        import jax.numpy as jnp
+        from hslam_tpu.ops.undistort import remap_image, photometric_correct
+
+        remap = jnp.asarray(cam.remap)
+        inv_resp = None
+        if rd.photometric.gamma is not None:
+            from hslam_tpu.ops.undistort import invert_response
+            inv_resp = invert_response(jnp.asarray(rd.photometric.gamma))
+        inv_vig = (jnp.asarray(rd.photometric.inv_vignette)
+                   if rd.photometric.inv_vignette is not None else None)
+
+        n = len(rd) if not args.max_frames else min(len(rd), args.max_frames)
+        t0 = time.time()
+        for i in range(n):
+            fd = rd.get_raw(i)
+            img = jnp.asarray(fd.image)
+            img = photometric_correct(img, inv_resp, inv_vig)
+            img = remap_image(img, remap)
+            sys_.process_frame(np.asarray(img), fd.timestamp, fd.exposure)
+            if sys_.is_lost:
+                print(f"LOST at frame {i}")
+                break
+        dt = time.time() - t0
+        print(f"{n} frames in {dt:.1f}s ({n/dt:.1f} fps), "
+              f"{sys_.next_kf_id} KFs")
+        write_tum(args.out, [s.timestamp for s in sys_.shells],
+                  [(s.cam_to_world[:3, :3], s.cam_to_world[:3, 3])
+                   for s in sys_.shells])
+    print(f"trajectory written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

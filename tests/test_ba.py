@@ -1,0 +1,407 @@
+"""Correctness tests for the windowed BA core.
+
+Strategy (SURVEY.md §4): block-by-block parity against independent numpy
+re-derivations in float64 —
+  * compute_adjoints vs. finite differences of the relative-pose tangent,
+  * accumulate() vs. a dense per-residual Jacobian assembly,
+  * the Schur complement vs. eliminating idepths from the dense KKT system,
+plus a loose numeric-gradient smoke test (the reference's center-pixel
+Jacobian approximation, OptimizationClasses.cpp:75-121, makes the exact
+energy gradient differ by O(10-50%) on near-cancelling dims) and an
+end-to-end convergence test on a rendered scene.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hslam_tpu.config import CALIB_SCALE, CPARS, FRAME_STATE_SCALE, Config
+from hslam_tpu.models import window as W
+from hslam_tpu.models.calib import make_calib
+from hslam_tpu.ops import ba
+from hslam_tpu.ops.pyramid import image_gradients
+from hslam_tpu.utils import lie
+
+H_IMG, W_IMG = 64, 64
+CFG = Config(
+    max_frames=4,
+    max_points=64,
+    outlier_th_sum_component=1e12,
+)
+
+
+def smooth_image(key, h, w):
+    ky, kx = jax.random.uniform(key, (2, 4), minval=0.5, maxval=2.5)
+    phases = jax.random.uniform(jax.random.fold_in(key, 1), (4,)) * 6.28
+    amps = jnp.array([40.0, 25.0, 15.0, 10.0])
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    img = 120.0 + sum(
+        amps[i] * jnp.sin(2 * jnp.pi * (kx[i] * xs / w + ky[i] * ys / h) + phases[i])
+        for i in range(4)
+    )
+    return img.astype(jnp.float32)
+
+
+def make_synthetic_window(key=jax.random.PRNGKey(0)):
+    cfg = CFG
+    calib = make_calib(60.0, 60.0, W_IMG / 2 - 0.5, H_IMG / 2 - 0.5, W_IMG, H_IMG)
+    wnd = W.empty_window(cfg, H_IMG, W_IMG)
+    F = cfg.max_frames
+
+    keys = jax.random.split(key, 8)
+    xi = jax.random.normal(keys[0], (F, 6)) * jnp.array([0.05] * 3 + [0.01] * 3)
+    xi = xi.at[0].set(0.0)
+    R0, t0 = lie.se3_exp(xi)
+
+    imgs = []
+    for f in range(F):
+        I = smooth_image(jax.random.fold_in(keys[1], f), H_IMG, W_IMG)
+        dx, dy = image_gradients(I)
+        imgs.append(jnp.stack([I, dx, dy], axis=-1))
+    images = jnp.stack(imgs)
+
+    frames = wnd.frames._replace(
+        valid=jnp.ones(F, bool),
+        evalpt_R=R0,
+        evalpt_t=t0,
+        kf_id=jnp.arange(F, dtype=jnp.int32),
+        images=images,
+        exposure=jnp.array([1.0, 1.1, 0.9, 1.05]),
+        prior=jnp.stack(
+            [jnp.asarray(W.first_frame_prior(cfg))]
+            + [jnp.asarray(W.later_frame_prior(cfg))] * (F - 1)
+        ),
+    )
+    # nonzero states so current != FEJ paths are exercised
+    st = jax.random.normal(keys[2], (F, 8)) * 0.002
+    st = st.at[0].set(0.0)
+    frames = frames._replace(state=st.astype(jnp.float32))
+
+    P = cfg.max_points
+    n_side = int(np.sqrt(P))
+    us = jnp.linspace(10, W_IMG - 10, n_side)
+    vs = jnp.linspace(10, H_IMG - 10, n_side)
+    uu, vv = jnp.meshgrid(us, vs)
+    u = uu.reshape(-1)[:P]
+    v = vv.reshape(-1)[:P]
+    idep = 0.5 + 0.2 * jax.random.uniform(keys[3], (P,))
+
+    from hslam_tpu.config import PATTERN
+    from hslam_tpu.utils.interp import bilinear
+
+    pat = jnp.asarray(PATTERN, jnp.float32)
+    up = u[:, None] + pat[None, :, 0]
+    vp = v[:, None] + pat[None, :, 1]
+    color = bilinear(images[0, :, :, 0], up, vp)
+
+    points = wnd.points._replace(
+        status=jnp.ones(P, jnp.int32),
+        host=jnp.zeros(P, jnp.int32),
+        u=u.astype(jnp.float32),
+        v=v.astype(jnp.float32),
+        idepth=idep.astype(jnp.float32),
+        idepth_zero=idep.astype(jnp.float32),
+        color=color,
+        weight=jnp.ones((P, 8), jnp.float32),
+    )
+    wnd = W.Window(frames=frames, points=points, HM=wnd.HM, bM=wnd.bM)
+    return wnd, calib, cfg
+
+
+def _lin_and_sys(wnd, calib, cfg):
+    frames, points = wnd.frames, wnd.points
+    F = cfg.max_frames
+    lin = ba.linearize(frames, points, calib, cfg)
+    grid = (
+        (points.status == W.PT_ACTIVE)[:, None]
+        & frames.valid[None, :]
+        & (points.host[:, None] != jnp.arange(F)[None, :])
+    )
+    active = grid & (lin.new_state == W.RES_IN)
+    AH, AT = ba.compute_adjoints(frames)
+    sys = ba.accumulate(lin, active, points.host, AH, AT, F)
+    return lin, active, AH, AT, sys
+
+
+class TestAdjoints:
+    def test_adjoints_match_finite_differences(self):
+        """AH[h,t]^T columns = d(rel 8-dof tangent)/d(host state);
+        AT likewise for the target. Exercises the scale rows too."""
+        wnd, calib, cfg = make_synthetic_window()
+        frames = wnd.frames
+        AH, AT = ba.compute_adjoints(frames)
+        AH, AT = np.asarray(AH, np.float64), np.asarray(AT, np.float64)
+        S = np.asarray(FRAME_STATE_SCALE, np.float64)
+
+        def rel_tangent(state):
+            """8-dof relative quantities for pair (h, t) as a function of
+            the full (F, 8) state matrix: [log(Trel Trel0^-1), a_rel-like]"""
+            st = jnp.asarray(state, jnp.float32)
+            fr = frames._replace(state=st)
+            R, t = W.frame_poses(fr)
+            aff = W.frame_affine(fr)
+            return R, t, aff
+
+        h, t = 1, 2
+        R_all, t_all, aff_all = rel_tangent(np.asarray(frames.state))
+        Ri, ti = lie.se3_inverse(R_all[h], t_all[h])
+        Rrel0, trel0 = lie.se3_mul(R_all[t], t_all[t], Ri, ti)
+
+        exp_ = np.where(np.asarray(frames.exposure) == 0, 1.0,
+                        np.asarray(frames.exposure))
+
+        def rel8(state):
+            R_a, t_a, aff = rel_tangent(state)
+            Ri_, ti_ = lie.se3_inverse(R_a[h], t_a[h])
+            Rr, tr = lie.se3_mul(R_a[t], t_a[t], Ri_, ti_)
+            dR, dt = lie.se3_mul(Rr, tr, *lie.se3_inverse(Rrel0, trel0))
+            xi = np.asarray(lie.se3_log(dR, dt), np.float64)
+            # the affine part of the rel tangent, in the linearize
+            # parametrization: d a_rel / a_rel0 -> d(dp6) etc. We compare
+            # against how linearize consumes dp: residual changes by
+            # JabF0 * dp6 + JabF1 * dp7 where the effective (a_rel, b_rel)
+            # perturbations are dp6 * (color - b0) ... — instead compare the
+            # pose block only here; affine entries are checked analytically.
+            return xi
+
+        eps = 1e-4
+        base = np.asarray(frames.state, np.float64)
+        for slot, Amat in ((h, AH[h, t]), (t, AT[h, t])):
+            for dim in range(6):
+                sp = base.copy()
+                sp[slot, dim] += eps
+                sm = base.copy()
+                sm[slot, dim] -= eps
+                num = (rel8(sp) - rel8(sm)) / (2 * eps)
+                # dp = A^T delta  =>  d dp_j / d delta_dim = A[dim, j]
+                ana = Amat[dim, :6]
+                np.testing.assert_allclose(
+                    ana, num, atol=2e-3, rtol=2e-3,
+                    err_msg=f"slot {slot} dim {dim}",
+                )
+
+        # affine entries analytically (EnergyFunctional.cpp:45-58):
+        aff0 = np.asarray(frames.state_zero) * np.asarray(FRAME_STATE_SCALE)
+        a_rel = np.exp(aff0[t, 6] - aff0[h, 6]) * exp_[t] / exp_[h]
+        np.testing.assert_allclose(AH[h, t][6, 6], a_rel * S[6], rtol=1e-5)
+        np.testing.assert_allclose(AH[h, t][7, 7], a_rel * S[7], rtol=1e-5)
+        np.testing.assert_allclose(AT[h, t][6, 6], -a_rel * S[6], rtol=1e-5)
+        np.testing.assert_allclose(AT[h, t][7, 7], -S[7], rtol=1e-5)
+
+
+class TestAccumulate:
+    def test_dense_assembly_parity(self):
+        """accumulate() == dense numpy f64 assembly of per-residual
+        absolute Jacobians built from the same factored blocks."""
+        wnd, calib, cfg = make_synthetic_window()
+        lin, active, AH, AT, sys = _lin_and_sys(wnd, calib, cfg)
+        F = cfg.max_frames
+        P = cfg.max_points
+        D = CPARS + 8 * F
+
+        AHn = np.asarray(AH, np.float64)
+        ATn = np.asarray(AT, np.float64)
+        host = np.asarray(wnd.points.host)
+        act = np.asarray(active)
+        Jpdc = np.asarray(lin.Jpdc, np.float64)
+        Jpdxi = np.asarray(lin.Jpdxi, np.float64)
+        Jpdd = np.asarray(lin.Jpdd, np.float64)
+        JIdx = np.asarray(lin.JIdx, np.float64)
+        JabF = np.asarray(lin.JabF, np.float64)
+        resF = np.asarray(lin.resF, np.float64)
+
+        H = np.zeros((D, D))
+        b = np.zeros(D)
+        Hdd = np.zeros(P)
+        bd = np.zeros(P)
+        g = np.zeros((P, D))
+
+        for p in range(P):
+            hslot = host[p]
+            for f in range(F):
+                if not act[p, f]:
+                    continue
+                # 8 rows of the absolute jacobian + idepth column
+                B_rel = np.zeros((4, 8))
+                B_rel[0, :6] = Jpdxi[p, f, 0]
+                B_rel[1, :6] = Jpdxi[p, f, 1]
+                B_rel[2, 6] = 1.0
+                B_rel[3, 7] = 1.0
+                C = np.concatenate([JIdx[p, f], JabF[p, f]], axis=1)  # (8,4)
+                J_rel = C @ B_rel                                     # (8,8)
+                J_abs = np.zeros((8, D))
+                J_abs[:, :CPARS] = C[:, :2] @ Jpdc[p, f]
+                J_abs[:, CPARS + 8 * hslot: CPARS + 8 * hslot + 8] += (
+                    J_rel @ AHn[hslot, f].T
+                )
+                J_abs[:, CPARS + 8 * f: CPARS + 8 * f + 8] += (
+                    J_rel @ ATn[hslot, f].T
+                )
+                J_d = C[:, :2] @ Jpdd[p, f]                           # (8,)
+                r = resF[p, f]
+                H += J_abs.T @ J_abs
+                b += J_abs.T @ r
+                Hdd[p] += J_d @ J_d
+                bd[p] += J_d @ r
+                g[p] += J_abs.T @ J_d
+
+        scale = max(np.abs(H).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(sys.H), H, atol=2e-4 * scale)
+        np.testing.assert_allclose(np.asarray(sys.b), b,
+                                   atol=2e-4 * max(np.abs(b).max(), 1.0))
+        np.testing.assert_allclose(np.asarray(sys.Hdd), Hdd,
+                                   atol=1e-4 * max(np.abs(Hdd).max(), 1.0))
+        np.testing.assert_allclose(np.asarray(sys.bd), bd,
+                                   atol=1e-4 * max(np.abs(bd).max(), 1.0))
+        np.testing.assert_allclose(np.asarray(sys.g), g,
+                                   atol=1e-4 * max(np.abs(g).max(), 1.0))
+
+
+class TestSchur:
+    def test_schur_equals_dense_elimination(self):
+        """H_sc/b_sc/resubstitute consistent with eliminating idepths from
+        the dense KKT system — all in f64 numpy to avoid conditioning
+        noise."""
+        wnd, calib, cfg = make_synthetic_window()
+        _, active, _, _, sys = _lin_and_sys(wnd, calib, cfg)
+        F = cfg.max_frames
+        D = CPARS + 8 * F
+
+        prior_pt = jnp.full(cfg.max_points, 100.0)
+        pt_active = jnp.sum(active, axis=1) > 0
+        H_sc, b_sc, HdiF = ba.schur_complement(sys, prior_pt, pt_active)
+
+        Hn = np.asarray(sys.H, np.float64)
+        bn = np.asarray(sys.b, np.float64)
+        gn = np.asarray(sys.g, np.float64)
+        Hddn = np.asarray(sys.Hdd + prior_pt, np.float64)
+        bdn = np.asarray(sys.bd, np.float64)
+        act = np.asarray(pt_active)
+        idx = np.where(act)[0]
+
+        Hsc_ref = (gn[idx].T / Hddn[idx]) @ gn[idx]
+        bsc_ref = gn[idx].T @ (bdn[idx] / Hddn[idx])
+        np.testing.assert_allclose(np.asarray(H_sc), Hsc_ref,
+                                   rtol=1e-3, atol=1e-3 * np.abs(Hsc_ref).max())
+        np.testing.assert_allclose(np.asarray(b_sc), bsc_ref,
+                                   rtol=1e-3, atol=1e-3 * max(np.abs(bsc_ref).max(), 1.0))
+
+        # well-conditioned solve: strong reg, both sides f64
+        reg = np.abs(Hn).max() * 1e-3 * np.eye(D) + 10 * np.eye(D)
+        x = np.linalg.solve(Hn + reg - Hsc_ref, bn - bsc_ref)
+        # dense KKT
+        Hfull = np.block([[Hn + reg, gn[idx].T], [gn[idx], np.diag(Hddn[idx])]])
+        bfull = np.concatenate([bn, bdn[idx]])
+        sol = np.linalg.solve(Hfull, bfull)
+        np.testing.assert_allclose(x, sol[:D], rtol=1e-5, atol=1e-8)
+
+        d = np.asarray(ba.resubstitute(sys, HdiF, jnp.asarray(x, jnp.float32)))
+        np.testing.assert_allclose(d[idx], -sol[D:], rtol=1e-2,
+                                   atol=1e-2 * max(np.abs(sol[D:]).max(), 1e-3))
+
+
+class TestGradientSmoke:
+    def test_frame_translation_gradient_sign_and_scale(self):
+        """Loose check: b on frame translation dims matches the numeric
+        energy gradient within the reference's center-pixel-Jacobian
+        approximation error (see module docstring)."""
+        wnd, calib, cfg = make_synthetic_window()
+        lin, active, _, _, sys = _lin_and_sys(wnd, calib, cfg)
+
+        def total_E(frames):
+            l2 = ba.linearize(frames, wnd.points, calib, cfg)
+            return float(jnp.sum(jnp.where(active, l2.energy_raw, 0.0)))
+
+        eps = 1e-5
+        for slot, dim in [(1, 0), (2, 1), (3, 2)]:
+            stp = wnd.frames.state.at[slot, dim].add(eps)
+            stm = wnd.frames.state.at[slot, dim].add(-eps)
+            num = (total_E(wnd.frames._replace(state=stp))
+                   - total_E(wnd.frames._replace(state=stm))) / (2 * eps)
+            ana = 2.0 * float(sys.b[CPARS + 8 * slot + dim])
+            assert np.sign(ana) == np.sign(num) or abs(num) < 50.0
+            np.testing.assert_allclose(ana, num, rtol=0.5, atol=50.0,
+                                       err_msg=f"frame {slot} dim {dim}")
+
+
+class TestOptimize:
+    def test_ba_reduces_pose_error(self):
+        from hslam_tpu.models.optimizer import ba_optimize
+
+        cfg = CFG
+        calib = make_calib(60.0, 60.0, W_IMG / 2 - 0.5, H_IMG / 2 - 0.5, W_IMG, H_IMG)
+        wnd0, _, _ = make_synthetic_window()
+        F = cfg.max_frames
+        fx, fy, cx, cy = 60.0, 60.0, W_IMG / 2 - 0.5, H_IMG / 2 - 0.5
+
+        key = jax.random.PRNGKey(5)
+        xi = jax.random.normal(key, (F, 6)) * jnp.array(
+            [0.08, 0.08, 0.04, 0.01, 0.01, 0.01]
+        )
+        xi = xi.at[0].set(0.0)
+        R_gt, t_gt = lie.se3_exp(xi)
+        depth = 2.0
+        I0 = smooth_image(jax.random.PRNGKey(7), H_IMG, W_IMG)
+
+        def render(Rf, tf):
+            ys, xs = jnp.mgrid[0:H_IMG, 0:W_IMG]
+            px = (xs - cx) / fx
+            py = (ys - cy) / fy
+            Rinv, tinv = lie.se3_inverse(Rf, tf)
+            dz = Rinv[2, 0] * px + Rinv[2, 1] * py + Rinv[2, 2]
+            s = (depth - tinv[2]) / dz
+            X = s * (Rinv[0, 0] * px + Rinv[0, 1] * py + Rinv[0, 2]) + tinv[0]
+            Y = s * (Rinv[1, 0] * px + Rinv[1, 1] * py + Rinv[1, 2]) + tinv[1]
+            u0 = fx * X / depth + cx
+            v0 = fy * Y / depth + cy
+            from hslam_tpu.utils.interp import bilinear
+            I = bilinear(I0, u0, v0)
+            dx, dy = image_gradients(I)
+            return jnp.stack([I, dx, dy], axis=-1)
+
+        images = jnp.stack([render(R_gt[f], t_gt[f]) for f in range(F)])
+        frames = wnd0.frames._replace(
+            evalpt_R=R_gt, evalpt_t=t_gt, images=images,
+            state=jnp.zeros((F, 8), jnp.float32),
+            exposure=jnp.ones(F),
+        )
+        pts = wnd0.points._replace(
+            idepth=jnp.full(cfg.max_points, 1.0 / depth),
+            idepth_zero=jnp.full(cfg.max_points, 1.0 / depth),
+        )
+        from hslam_tpu.config import PATTERN
+        from hslam_tpu.utils.interp import bilinear
+        pat = jnp.asarray(PATTERN, jnp.float32)
+        up = pts.u[:, None] + pat[None, :, 0]
+        vp = pts.v[:, None] + pat[None, :, 1]
+        pts = pts._replace(color=bilinear(images[0, :, :, 0], up, vp))
+
+        # perturbation well above the rendering-model bias (the discrete
+        # photometric optimum sits ~0.002 rel-pose-log away from GT at 64^2)
+        pert = jax.random.normal(jax.random.PRNGKey(9), (F, 8)) * jnp.array(
+            [0.1, 0.1, 0.1, 0.04, 0.04, 0.04, 0.0, 0.0]
+        )
+        pert = pert.at[0].set(0.0)
+        frames = frames._replace(state=pert.astype(jnp.float32))
+        wnd = W.Window(frames=frames, points=pts, HM=wnd0.HM, bM=wnd0.bM)
+
+        res = ba_optimize(wnd, calib, cfg, n_iterations=8)
+        R_f, t_f = W.frame_poses(res.window.frames)
+        R_p, t_p = W.frame_poses(frames)
+        Ri0, ti0 = lie.se3_inverse(R_f[0], t_f[0])
+        Rp0, tp0 = lie.se3_inverse(R_p[0], t_p[0])
+
+        err_after = err_b4 = 0.0
+        for f in range(1, F):
+            Rgt_rel, tgt_rel = lie.se3_mul(
+                R_gt[f], t_gt[f], *lie.se3_inverse(R_gt[0], t_gt[0])
+            )
+            Rrel, trel = lie.se3_mul(R_f[f], t_f[f], Ri0, ti0)
+            dR, dt = lie.se3_mul(Rrel, trel, *lie.se3_inverse(Rgt_rel, tgt_rel))
+            err_after += float(jnp.sum(lie.se3_log(dR, dt) ** 2))
+            Rrel_p, trel_p = lie.se3_mul(R_p[f], t_p[f], Rp0, tp0)
+            dRp, dtp = lie.se3_mul(Rrel_p, trel_p, *lie.se3_inverse(Rgt_rel, tgt_rel))
+            err_b4 += float(jnp.sum(lie.se3_log(dRp, dtp) ** 2))
+
+        assert np.isfinite(err_after)
+        assert err_after < 0.3 * err_b4, (err_b4, err_after)

@@ -1,0 +1,89 @@
+"""End-to-end system test: run the full SLAM pipeline on a small synthetic
+sequence (textured plane, smooth camera arc) and check it initializes,
+tracks, makes keyframes, and keeps trajectory error bounded."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hslam_tpu.config import Config
+from hslam_tpu.utils import lie
+from hslam_tpu.utils.interp import bilinear
+
+H, W = 96, 128
+FX = FY = 80.0
+CX, CY = W / 2 - 0.5, H / 2 - 0.5
+DEPTH = 2.0
+
+
+def make_texture():
+    key = jax.random.PRNGKey(3)
+    ky, kx = jax.random.uniform(key, (2, 8), minval=0.5, maxval=6.5)
+    ph = jax.random.uniform(jax.random.fold_in(key, 1), (8,)) * 6.28
+    amps = jnp.array([35.0, 30.0, 22.0, 18.0, 14.0, 10.0, 8.0, 6.0])
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    I0 = 120.0 + sum(
+        amps[i] * jnp.sin(2 * jnp.pi * (kx[i] * xs / W + ky[i] * ys / H) + ph[i])
+        for i in range(8)
+    )
+    return I0.astype(jnp.float32)
+
+
+def render(I0, Rf, tf):
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    px = (xs - CX) / FX
+    py = (ys - CY) / FY
+    Rinv, tinv = lie.se3_inverse(Rf, tf)
+    dz = Rinv[2, 0] * px + Rinv[2, 1] * py + Rinv[2, 2]
+    s = (DEPTH - tinv[2]) / dz
+    X = s * (Rinv[0, 0] * px + Rinv[0, 1] * py + Rinv[0, 2]) + tinv[0]
+    Y = s * (Rinv[1, 0] * px + Rinv[1, 1] * py + Rinv[1, 2]) + tinv[1]
+    u0 = FX * X / DEPTH + CX
+    v0 = FY * Y / DEPTH + CY
+    return np.asarray(bilinear(I0, u0, v0))
+
+
+@pytest.mark.slow
+def test_end_to_end_synthetic():
+    from hslam_tpu.models.system import SLAMSystem
+
+    cfg = Config(
+        max_frames=6, max_points=512, max_immature=512, max_features=512,
+        pyr_levels=3, init_min_matches=50, init_ransac_iters=100,
+        desired_point_density=400.0, desired_immature_density=300.0,
+        tracker_iters_per_level=(6, 10, 10),
+    )
+    slam = SLAMSystem(FX, FY, CX, CY, W, H, cfg)
+    I0 = make_texture()
+
+    n_frames = 20
+    gt = []
+    for i in range(n_frames):
+        t = i / 10.0
+        xi = jnp.array(
+            [0.35 * np.sin(0.5 * t), 0.18 * (1 - np.cos(0.5 * t)), 0.05 * t,
+             0.015 * np.sin(0.4 * t), 0.025 * t, 0.01 * np.sin(0.3 * t)]
+        )
+        R, tt = lie.se3_exp(xi)
+        gt.append((np.asarray(R), np.asarray(tt)))
+        img = render(I0, R, tt)
+        slam.process_frame(img, i / 10.0)
+        assert not slam.is_lost, f"lost at frame {i}"
+
+    assert slam.initialized, "system failed to initialize"
+    assert slam.next_kf_id >= 2, "no keyframes created"
+
+    # trajectory error: sim3-aligned ATE must be small vs scene depth 2.0
+    from hslam_tpu.io.trajectory import ate_rmse
+
+    est, gtp = [], []
+    for s in slam.shells:
+        if s.pose_valid and s.tracking_ref is not None or s.is_kf:
+            Tcw = np.eye(4)
+            Tcw[:3, :3], Tcw[:3, 3] = gt[s.id]
+            gtp.append(np.linalg.inv(Tcw)[:3, 3])
+            est.append(s.cam_to_world[:3, 3])
+    assert len(est) >= 10
+    err = ate_rmse(np.array(gtp), np.array(est))
+    assert np.isfinite(err)
+    assert err < 0.15, f"ATE too high: {err}"
