@@ -124,7 +124,11 @@ class Config:
     trace_gn_iterations: int = 3
     trace_gn_threshold: float = 0.1
     trace_extra_slack_on_th: float = 1.2
-    trace_max_steps: int = 100    # hard cap on discrete search (ImmaturePoint.cpp)
+    # cap on the discrete epipolar search. The reference allocates 100 slots
+    # (ImmaturePoint.cpp:201-204) but the search length is already bounded by
+    # maxPixSearch = 0.027 * (W + H) ~= 30 px at 640x480, i.e. <= ~32 steps
+    # of stepsize 1 — 48 covers it with margin at 1/2 the gather cost.
+    trace_max_steps: int = 48
 
     # ---- point activation ----
     gn_its_on_point_activation: int = 3

@@ -1,0 +1,209 @@
+"""Loop closure: BoW place recognition + geometric verification + pose-graph
+correction.
+
+This is the declared-capability subsystem the reference links but never
+exercises (DBoW3 + g2o vendored, no call sites — SURVEY.md §0): the design
+follows the H-SLAM/ORB-SLAM pattern the reference descends from:
+
+  1. every keyframe contributes ORB descriptors, quantized to BoW words
+     (ops/bow.py) and appended to a fixed-capacity database;
+  2. a new keyframe queries the database (batched L1 scoring); candidates
+     must beat a fraction of the best covisible score and be temporally
+     non-adjacent;
+  3. candidates are verified by descriptor matching (ops/orb.py) + RANSAC
+     two-view geometry (ops/twoview.py); a verified loop yields a relative
+     Sim3 (scale from the depth ratio of matched map points when
+     available, else 1);
+  4. the keyframe pose graph is relaxed with the loop edge plus sequential
+     odometry edges (models/pose_graph.py), and the correction is handed
+     back to the host to re-anchor shells / the active window.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import bow as bow_ops
+from ..ops import orb as orb_ops
+from ..ops import twoview as tv_ops
+from ..utils import lie
+from . import pose_graph as pg_mod
+
+
+@dataclasses.dataclass
+class KeyframeEntry:
+    kf_id: int
+    shell_id: int
+    bow: np.ndarray             # (n_words,) L1-normalized tf vector
+    desc: np.ndarray            # (M, 8) uint32
+    kp_u: np.ndarray            # (M,)
+    kp_v: np.ndarray
+    valid: np.ndarray           # (M,)
+    cam_to_world: np.ndarray    # (4, 4) — updated after corrections
+
+
+@dataclasses.dataclass
+class LoopResult:
+    query_kf: int
+    match_kf: int
+    rel_R: np.ndarray           # query -> match relative rotation
+    rel_t: np.ndarray
+    rel_s: float
+    n_inliers: int
+
+
+class LoopCloser:
+    """Host-driven loop-closure manager over jitted kernels."""
+
+    def __init__(self, vocab: bow_ops.Vocabulary,
+                 min_score_ratio: float = 0.75,
+                 min_gap: int = 15,
+                 min_inliers: int = 25):
+        self.vocab = vocab
+        self.entries: List[KeyframeEntry] = []
+        self.min_score_ratio = min_score_ratio
+        self.min_gap = min_gap
+        self.min_inliers = min_inliers
+        self._quantize = jax.jit(lambda d, v: bow_ops.quantize(self.vocab, d, v))
+
+    def add_keyframe(self, kf_id: int, shell_id: int,
+                     desc: jnp.ndarray, kp_u, kp_v, valid,
+                     cam_to_world: np.ndarray):
+        words = self._quantize(desc, valid)
+        vec = bow_ops.bow_vector(words, self.vocab.n_words)
+        self.entries.append(KeyframeEntry(
+            kf_id=kf_id, shell_id=shell_id,
+            bow=np.asarray(vec), desc=np.asarray(desc),
+            kp_u=np.asarray(kp_u), kp_v=np.asarray(kp_v),
+            valid=np.asarray(valid),
+            cam_to_world=cam_to_world.copy(),
+        ))
+
+    def detect(self, query_idx: int, K: np.ndarray) -> Optional[LoopResult]:
+        """Try to close a loop for entry `query_idx` (usually the newest)."""
+        q = self.entries[query_idx]
+        cands = [
+            i for i, e in enumerate(self.entries)
+            if abs(e.kf_id - q.kf_id) >= self.min_gap
+        ]
+        if not cands:
+            return None
+        db = jnp.asarray(np.stack([self.entries[i].bow for i in cands]))
+        scores = np.asarray(bow_ops.l1_score(jnp.asarray(q.bow), db))
+
+        # reference score from temporally-adjacent keyframes
+        adj = [
+            e.bow for e in self.entries
+            if 0 < abs(e.kf_id - q.kf_id) < 4
+        ]
+        if adj:
+            adj_scores = np.asarray(
+                bow_ops.l1_score(jnp.asarray(q.bow), jnp.asarray(np.stack(adj)))
+            )
+            min_ref = float(adj_scores.max()) * self.min_score_ratio
+        else:
+            min_ref = 0.05
+
+        best = int(np.argmax(scores))
+        if scores[best] < max(min_ref, 0.015):
+            return None
+        cand = self.entries[cands[best]]
+
+        # geometric verification: descriptor match + RANSAC
+        idx_b, ok = orb_ops.match_descriptors(
+            jnp.asarray(q.desc), jnp.asarray(cand.desc),
+            valid_a=jnp.asarray(q.valid), valid_b=jnp.asarray(cand.valid),
+        )
+        ok_np = np.asarray(ok)
+        if ok_np.sum() < self.min_inliers:
+            return None
+        p1 = jnp.stack([jnp.asarray(q.kp_u), jnp.asarray(q.kp_v)], -1)
+        p2_all = jnp.stack([jnp.asarray(cand.kp_u), jnp.asarray(cand.kp_v)], -1)
+        p2 = p2_all[idx_b]
+        res = tv_ops.two_view_reconstruct(
+            p1, p2, jnp.asarray(ok_np), jnp.asarray(K),
+            jax.random.PRNGKey(q.kf_id), n_iters=200,
+        )
+        n_inl = int(np.asarray(res.tri_ok).sum())
+        if not bool(res.ok) or n_inl < self.min_inliers:
+            return None
+        return LoopResult(
+            query_kf=q.kf_id, match_kf=cand.kf_id,
+            rel_R=np.asarray(res.R), rel_t=np.asarray(res.t),
+            rel_s=1.0, n_inliers=n_inl,
+        )
+
+    def correct(self, loop: LoopResult, fix_scale: bool = False
+                ) -> List[Tuple[int, np.ndarray]]:
+        """Relax the pose graph with sequential odometry edges + the loop
+        edge. Returns [(shell_id, corrected cam_to_world)] for all entries
+        and updates the stored entry poses."""
+        N = len(self.entries)
+        kf_index = {e.kf_id: i for i, e in enumerate(self.entries)}
+
+        # states: world-to-kf sim3
+        Rs, ts = [], []
+        for e in self.entries:
+            Twc = np.linalg.inv(e.cam_to_world)
+            Rs.append(Twc[:3, :3])
+            ts.append(Twc[:3, 3])
+        s = jnp.ones(N)
+        R = jnp.asarray(np.stack(Rs), jnp.float32)
+        t = jnp.asarray(np.stack(ts), jnp.float32)
+
+        edges_i, edges_j, ms, mR, mt, w = [], [], [], [], [], []
+        # sequential odometry edges between consecutive entries
+        for a in range(N - 1):
+            i, j = a + 1, a
+            Ti = np.linalg.inv(self.entries[i].cam_to_world)
+            Tj = np.linalg.inv(self.entries[j].cam_to_world)
+            Tij = Ti @ np.linalg.inv(Tj)
+            edges_i.append(i)
+            edges_j.append(j)
+            ms.append(1.0)
+            mR.append(Tij[:3, :3])
+            mt.append(Tij[:3, 3])
+            w.append(1.0)
+        # the loop edge
+        qi = kf_index[loop.query_kf]
+        mi = kf_index[loop.match_kf]
+        T_rel = np.eye(4)
+        T_rel[:3, :3] = loop.rel_R
+        T_rel[:3, 3] = loop.rel_t
+        # S_query * S_match^-1 measured = worldToQ relative worldToM:
+        edges_i.append(qi)
+        edges_j.append(mi)
+        ms.append(loop.rel_s)
+        mR.append(T_rel[:3, :3])
+        mt.append(T_rel[:3, 3])
+        w.append(float(loop.n_inliers))
+
+        pg = pg_mod.make_graph(
+            s, R, t, jnp.ones(N, bool),
+            np.asarray(edges_i), np.asarray(edges_j),
+            (np.asarray(ms, np.float32),
+             np.asarray(np.stack(mR), np.float32),
+             np.asarray(np.stack(mt), np.float32)),
+            np.asarray(w, np.float32),
+        )
+        s_new, R_new, t_new = pg_mod.optimize_pose_graph(
+            pg, n_iters=8, fix_scale=fix_scale
+        )
+        out = []
+        s_np = np.asarray(s_new)
+        R_np = np.asarray(R_new)
+        t_np = np.asarray(t_new)
+        for i, e in enumerate(self.entries):
+            Twc = np.eye(4)
+            # sim3 world-to-kf -> rigid cam_to_world with the scale folded
+            # into translation (standard Strasdat correction)
+            Twc[:3, :3] = R_np[i]
+            Twc[:3, 3] = t_np[i] / max(s_np[i], 1e-8)
+            Tcw = np.linalg.inv(Twc)
+            e.cam_to_world = Tcw
+            out.append((e.shell_id, Tcw))
+        return out

@@ -321,9 +321,12 @@ def marginalize_points(
 ) -> W.Window:
     """flagPointsForRemoval + marginalizePointsF (Mapping.cpp:249-328,
     EnergyFunctional.cpp:545-609). The caller computes the policy flags;
-    here we relinearize at the current state (res_toZero == resF since the
-    state hasn't moved, OptimizationClasses.cpp:258-284), accumulate the
-    flagged points' residuals and add margWeightFac * (M - Msc) to HM/bM."""
+    here we relinearize at the current state, extrapolate the residuals
+    back to the zero-delta point (res_toZero = resF - J * dp,
+    fixLinearizationF, OptimizationClasses.cpp:258-284 — bM is stored as
+    the gradient at delta == 0 and advanced by HM * delta at solve time),
+    accumulate the flagged points' residuals and add
+    margWeightFac * (M - Msc) to HM/bM."""
     frames, points = wnd.frames, wnd.points
     F = frames.valid.shape[0]
 
@@ -332,10 +335,46 @@ def marginalize_points(
     grid = _residual_grid_mask(frames, points)
     active = grid & (lin.new_state == W.RES_IN) & to_marg[:, None]
 
+    # per-pair state delta dp (solver units): adHTdeltaF
+    # (EnergyFunctional.cpp:128-152); idepth delta is 0 by construction.
+    f_delta = (frames.state - frames.state_zero) * frames.valid[:, None]
+    dp = (
+        jnp.einsum("hfij,hi->hfj", AH, f_delta)
+        + jnp.einsum("hfij,fi->hfj", AT, f_delta)
+    )  # (F_host, F_target, 8)
+    dp_pf = dp[points.host]                                    # (P, F, 8)
+    c_delta = (calib.value - calib.value_zero) / jnp.asarray(CALIB_SCALE)
+    jp_dx = (
+        jnp.einsum("pfj,pfj->pf", lin.Jpdxi[:, :, 0], dp_pf[..., :6])
+        + lin.Jpdc[:, :, 0] @ c_delta
+    )
+    jp_dy = (
+        jnp.einsum("pfj,pfj->pf", lin.Jpdxi[:, :, 1], dp_pf[..., :6])
+        + lin.Jpdc[:, :, 1] @ c_delta
+    )
+    res_to_zero = (
+        lin.resF
+        - lin.JIdx[..., 0] * jp_dx[..., None]
+        - lin.JIdx[..., 1] * jp_dy[..., None]
+        - lin.JabF[..., 0] * dp_pf[..., None, 6]
+        - lin.JabF[..., 1] * dp_pf[..., None, 7]
+    )
+    lin = lin._replace(resF=res_to_zero)
+
     sys = ba.accumulate(lin, active, points.host, AH, AT, F)
     marg_prior = points.prior * cfg.idepth_fix_prior_marg_fac
     pt_mask = to_marg & (jnp.sum(active, axis=1) > 0)
+    # guard: only fold in well-constrained idepths — a tiny Hdd turns the
+    # Schur term into a huge rank-1 spike that poisons HM (the policy also
+    # gates on idepth_hessian > minIdepthH_marg, Mapping.cpp:296; this is
+    # the in-kernel backstop)
+    pt_mask = pt_mask & ((sys.Hdd + marg_prior) > cfg.min_idepth_h_marg)
     H_sc, b_sc, _ = ba.schur_complement(sys, marg_prior, pt_mask)
+
+    # drop the residual blocks of points excluded by the guard from the top
+    # Hessian too (their H/b must not enter HM unpaired with a Schur term)
+    active = active & pt_mask[:, None]
+    sys = ba.accumulate(lin, active, points.host, AH, AT, F)
 
     HM = wnd.HM + cfg.marg_weight_fac * (sys.H - H_sc)
     bM = wnd.bM + cfg.marg_weight_fac * (sys.b - b_sc)

@@ -103,6 +103,8 @@ class SLAMSystem:
         self.frame_count = 0
         self.next_kf_id = 0
         self.selector_pot = 5
+        self._marg_counts: dict = {}
+        self._last_flow = np.zeros(3)
 
         # tracker reference state (host mirrors)
         self.template: Optional[trk_ops.Template] = None
@@ -609,6 +611,7 @@ class SLAMSystem:
         for s in flagged:
             self.window = self._marg_frame(self.window, jnp.int32(s))
             self.slot_shell[s] = None
+            self._marg_counts[s] = 0     # slot will be reused by a new KF
             # drop immature points hosted there
             self.imm.valid = self.imm.valid & (self.imm.host != s)
 
@@ -633,6 +636,9 @@ class SLAMSystem:
         exposure = np.asarray(frames.exposure)
         kf_ids = np.asarray(frames.kf_id)
 
+        if not hasattr(self, "_marg_counts"):
+            self._marg_counts = {}
+
         flagged: List[int] = []
         newest_aff = new_shell.aff
         newest_exp = new_shell.exposure or 1.0
@@ -640,21 +646,19 @@ class SLAMSystem:
             n_in = int(((status == W.PT_ACTIVE) & (host == s)).sum()) + int(
                 (imm_valid & (imm_host == s)).sum()
             )
-            n_out = max(
-                int(self._marg_counts.get(s, 0)) if hasattr(self, "_marg_counts") else 0,
-                0,
-            )
+            n_out = int(self._marg_counts.get(s, 0))
             e = exposure[s] if exposure[s] else 1.0
             a_rel = np.exp(aff[s, 0] - newest_aff[0]) * (e / newest_exp)
             if (
                 (n_in < cfg.min_points_remaining * max(n_in + n_out, 1)
                  or abs(np.log(max(a_rel, 1e-12))) > cfg.max_log_aff_fac_in_window)
-                and (len(slots) + 1 - len(flagged) > cfg.min_frames)
+                and (len(slots) - len(flagged) > cfg.min_frames)
             ):
                 flagged.append(s)
 
         # distance-score: keep window <= max frames
-        if len(slots) + 1 - len(flagged) >= cfg.max_kf_frames:
+        # (reference checks the pre-insertion count, FullSystemMarginalize.cpp:70)
+        if len(slots) - len(flagged) >= cfg.max_kf_frames:
             R_f, t_f = W.frame_poses(frames)
             T = np.asarray(t_f)
             newest_kf = kf_ids[slots].max()
@@ -863,6 +867,11 @@ class SLAMSystem:
         well_constrained = pts.idepth_hessian > cfg.min_idepth_h_marg
         to_marg = affected & inlier & well_constrained
         to_drop = (affected & (~inlier | ~well_constrained)) | drop_nores
+
+        # per-host counts of removed points feed the marginalization policy
+        removed_host = np.asarray(pts.host)[np.asarray(to_marg | to_drop)]
+        for h in removed_host:
+            self._marg_counts[int(h)] = self._marg_counts.get(int(h), 0) + 1
 
         self.window = self._marg_points(self.window, self.calib, to_marg, to_drop)
 

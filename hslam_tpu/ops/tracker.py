@@ -355,8 +355,12 @@ def track_coarse(
         )
         cutoff = base_cut * cut_rep
 
-        def lm_body(it, carry):
-            R_c, t_c, aff_c, Hc, bc, Ec, nc, lam, done = carry
+        def lm_cond(carry):
+            it, R_c, t_c, aff_c, Hc, bc, Ec, nc, lam, done = carry
+            return (it < max_iters[min(lvl, len(max_iters) - 1)]) & ~done
+
+        def lm_body(carry):
+            it, R_c, t_c, aff_c, Hc, bc, Ec, nc, lam, done = carry
             # NOTE: the reference scales H/b by the SCALE_* diagonal, solves,
             # then multiplies the step by the same diagonal
             # (CoarseTracker.cpp:312-323, 596-600) — that round-trip is the
@@ -390,11 +394,15 @@ def track_coarse(
             # convergence test in the reference's scaled units
             # (CoarseTracker.cpp:640: inc.norm() on the preconditioned step)
             done = done | (jnp.linalg.norm(inc_scaled / _PRECOND) <= 1e-3)
-            return (R_c, t_c, aff_c, Hc, bc, Ec, nc, lam, done)
+            return (it + 1, R_c, t_c, aff_c, Hc, bc, Ec, nc, lam, done)
 
-        init = (R, t, aff, Hm, bv, E, n, jnp.float32(0.01), ~active)
-        R_f, t_f, aff_f, _, _, E_f, n_f, _, _ = jax.lax.fori_loop(
-            0, max_iters[min(lvl, len(max_iters) - 1)], lm_body, init
+        # while_loop (not fori): each LM iteration is a full dense pass and
+        # the loop is latency-bound — stopping at convergence is the
+        # difference between ~230 and ~30 sequential dispatches per track
+        init = (jnp.int32(0), R, t, aff, Hm, bv, E, n, jnp.float32(0.01),
+                ~active)
+        _, R_f, t_f, aff_f, _, _, E_f, n_f, _, _ = jax.lax.while_loop(
+            lm_cond, lm_body, init
         )
 
         # final stats with flow indicators

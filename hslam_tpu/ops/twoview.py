@@ -210,12 +210,41 @@ def two_view_reconstruct(
 
     bF = jnp.argmax(score_F)
     bH = jnp.argmax(score_H)
-    SF = score_F[bF]
-    SH = score_H[bH]
     F_best = F_cands[bF]
     H_best = H_cands[bH]
     inliers_F = inl_F[bF]
     inliers_H = inl_H[bH]
+
+    # refit on the full inlier set (masked SVD) — reduces the noise
+    # amplification of the minimal 8-point solution; one extra SVD
+    def refit_F(inl):
+        x1, y1 = p1n_all[:, 0], p1n_all[:, 1]
+        x2, y2 = p2n_all[:, 0], p2n_all[:, 1]
+        A = jnp.stack(
+            [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1,
+             jnp.ones_like(x1)], axis=-1,
+        ) * inl.astype(jnp.float32)[:, None]
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
+        Fm = Vt[-1].reshape(3, 3)
+        U_, S_, Vt2 = jnp.linalg.svd(Fm)
+        return T2.T @ (U_ @ jnp.diag(S_.at[2].set(0.0)) @ Vt2) @ T1
+
+    def refit_H(inl):
+        x1, y1 = p1n_all[:, 0], p1n_all[:, 1]
+        x2, y2 = p2n_all[:, 0], p2n_all[:, 1]
+        z = jnp.zeros_like(x1)
+        o = jnp.ones_like(x1)
+        m = inl.astype(jnp.float32)[:, None]
+        r1 = jnp.stack([z, z, z, -x1, -y1, -o, y2 * x1, y2 * y1, y2], -1) * m
+        r2 = jnp.stack([x1, y1, o, z, z, z, -x2 * x1, -x2 * y1, -x2], -1) * m
+        A = jnp.concatenate([r1, r2], axis=0)
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
+        return T2inv @ Vt[-1].reshape(3, 3) @ T1
+
+    F_best = refit_F(inliers_F)
+    H_best = refit_H(inliers_H)
+    SF, inliers_F = _score_F(F_best, p1, p2, valid)
+    SH, inliers_H = _score_H(H_best, p1, p2, valid)
 
     RH = SH / jnp.maximum(SH + SF, 1e-12)
     use_H = RH > 0.40
@@ -300,6 +329,10 @@ def two_view_reconstruct(
         all_R, all_t
     )
     counts = jnp.sum(goods, axis=-1)
+    # the F path has only 4 distinct motions (slots 4-7 duplicate 0-3);
+    # exclude the duplicates so the best/second-best ratio test is valid
+    dup = (jnp.arange(8) >= 4) & ~use_H
+    counts = jnp.where(dup, -1, counts)
     best = jnp.argmax(counts)
     n_best = counts[best]
     n_second = jnp.sort(counts)[-2]

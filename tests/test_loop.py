@@ -1,0 +1,156 @@
+"""Tests for BoW place recognition and pose-graph relaxation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hslam_tpu.utils import lie
+
+
+def random_descs(key, n):
+    return jax.random.randint(key, (n, 8), 0, 2**31 - 1, dtype=jnp.int32).astype(jnp.uint32)
+
+
+class TestBow:
+    def test_quantize_and_score(self):
+        from hslam_tpu.ops.bow import (
+            Vocabulary, bow_vector, l1_score, quantize, train_vocabulary,
+        )
+
+        key = jax.random.PRNGKey(0)
+        train = np.asarray(random_descs(key, 500))
+        voc = train_vocabulary(train, k=4, levels=2, iters=4)
+        assert voc.n_words == 16
+
+        descs = random_descs(jax.random.PRNGKey(1), 64)
+        words = quantize(voc, descs, jnp.ones(64, bool))
+        assert int(words.min()) >= 0 and int(words.max()) < 16
+
+        v1 = bow_vector(words, voc.n_words)
+        # identical documents score 1
+        np.testing.assert_allclose(float(l1_score(v1, v1[None])[0]), 1.0, atol=1e-5)
+        # unrelated random document scores lower
+        words2 = quantize(voc, random_descs(jax.random.PRNGKey(7), 64),
+                          jnp.ones(64, bool))
+        v2 = bow_vector(words2, voc.n_words)
+        assert float(l1_score(v1, v2[None])[0]) < 0.95
+
+    def test_similar_images_score_higher(self):
+        """Perturbing a few descriptor bits must keep the BoW score high."""
+        from hslam_tpu.ops.bow import bow_vector, l1_score, quantize, train_vocabulary
+
+        key = jax.random.PRNGKey(3)
+        base = np.asarray(random_descs(key, 400))
+        voc = train_vocabulary(base, k=5, levels=2, iters=4)
+
+        descs = random_descs(jax.random.PRNGKey(4), 100)
+        # flip one random bit per descriptor
+        flips = (jnp.uint32(1) << jax.random.randint(
+            jax.random.PRNGKey(5), (100,), 0, 32).astype(jnp.uint32))
+        perturbed = descs.at[:, 0].set(jnp.bitwise_xor(descs[:, 0], flips))
+
+        w1 = quantize(voc, descs, jnp.ones(100, bool))
+        w2 = quantize(voc, perturbed, jnp.ones(100, bool))
+        w3 = quantize(voc, random_descs(jax.random.PRNGKey(6), 100),
+                      jnp.ones(100, bool))
+        v1 = bow_vector(w1, voc.n_words)
+        v2 = bow_vector(w2, voc.n_words)
+        v3 = bow_vector(w3, voc.n_words)
+        s_sim = float(l1_score(v1, v2[None])[0])
+        s_rand = float(l1_score(v1, v3[None])[0])
+        assert s_sim > s_rand
+
+
+class TestPoseGraph:
+    def test_loop_correction_reduces_drift(self):
+        """A drifted circular trajectory with a perfect loop edge must be
+        pulled back toward consistency."""
+        from hslam_tpu.models.pose_graph import make_graph, optimize_pose_graph, residuals
+
+        N = 12
+        # ground truth: poses on a circle
+        angles = np.linspace(0, 2 * np.pi, N, endpoint=False)
+        R_gt, t_gt = [], []
+        for a in angles:
+            xi = jnp.array([np.cos(a), np.sin(a), 0.0, 0.0, 0.0, a])
+            R, t = lie.se3_exp(xi)
+            R_gt.append(np.asarray(R))
+            t_gt.append(np.asarray(t))
+        R_gt, t_gt = np.stack(R_gt), np.stack(t_gt)
+
+        # drifted estimates: accumulate noisy odometry
+        rng = np.random.RandomState(0)
+        R_est = [R_gt[0]]
+        t_est = [t_gt[0]]
+        for i in range(1, N):
+            Ti = np.eye(4)
+            Ti[:3, :3], Ti[:3, 3] = R_gt[i], t_gt[i]
+            Tp = np.eye(4)
+            Tp[:3, :3], Tp[:3, 3] = R_gt[i - 1], t_gt[i - 1]
+            Trel = Ti @ np.linalg.inv(Tp)
+            noise_xi = jnp.asarray(
+                np.concatenate([rng.randn(3) * 0.02, rng.randn(3) * 0.01])
+            )
+            nR, nt = lie.se3_exp(noise_xi)
+            Tn = np.eye(4)
+            Tn[:3, :3], Tn[:3, 3] = np.asarray(nR), np.asarray(nt)
+            Te = Tn @ Trel
+            Tprev = np.eye(4)
+            Tprev[:3, :3], Tprev[:3, 3] = R_est[-1], t_est[-1]
+            Tcur = Te @ Tprev
+            R_est.append(Tcur[:3, :3])
+            t_est.append(Tcur[:3, 3])
+        R_est, t_est = np.stack(R_est), np.stack(t_est)
+
+        # edges: noisy sequential (the drifted odometry itself) + exact loop 0-(N-1)
+        ei, ej, mR, mt, ms = [], [], [], [], []
+        for i in range(1, N):
+            Ti = np.eye(4)
+            Ti[:3, :3], Ti[:3, 3] = R_est[i], t_est[i]
+            Tj = np.eye(4)
+            Tj[:3, :3], Tj[:3, 3] = R_est[i - 1], t_est[i - 1]
+            Trel = Ti @ np.linalg.inv(Tj)
+            ei.append(i)
+            ej.append(i - 1)
+            mR.append(Trel[:3, :3])
+            mt.append(Trel[:3, 3])
+            ms.append(1.0)
+        # ground-truth loop edge between last and first
+        Tl = np.eye(4)
+        Tl[:3, :3], Tl[:3, 3] = R_gt[N - 1], t_gt[N - 1]
+        T0 = np.eye(4)
+        T0[:3, :3], T0[:3, 3] = R_gt[0], t_gt[0]
+        Trel = Tl @ np.linalg.inv(T0)
+        ei.append(N - 1)
+        ej.append(0)
+        mR.append(Trel[:3, :3])
+        mt.append(Trel[:3, 3])
+        ms.append(1.0)
+
+        pg = make_graph(
+            np.ones(N, np.float32), R_est.astype(np.float32),
+            t_est.astype(np.float32), np.ones(N, bool),
+            np.asarray(ei), np.asarray(ej),
+            (np.asarray(ms, np.float32), np.stack(mR).astype(np.float32),
+             np.stack(mt).astype(np.float32)),
+            np.concatenate([np.ones(N - 1), [20.0]]).astype(np.float32),
+        )
+
+        def loop_gap(R, t):
+            """Residual of the loop edge at the current states."""
+            Tq = np.eye(4)
+            Tq[:3, :3], Tq[:3, 3] = np.asarray(R[N - 1]), np.asarray(t[N - 1])
+            T0_ = np.eye(4)
+            T0_[:3, :3], T0_[:3, 3] = np.asarray(R[0]), np.asarray(t[0])
+            rel = Tq @ np.linalg.inv(T0_)
+            err = rel @ np.linalg.inv(Trel)
+            return float(np.linalg.norm(np.asarray(
+                lie.se3_log(jnp.asarray(err[:3, :3]), jnp.asarray(err[:3, 3]))
+            )))
+
+        gap_before = loop_gap(R_est, t_est)
+        s_n, R_n, t_n = optimize_pose_graph(pg, n_iters=10, fix_scale=True)
+        gap_after = loop_gap(np.asarray(R_n), np.asarray(t_n))
+        assert gap_after < 0.3 * gap_before, (gap_before, gap_after)
+        # scales pinned
+        np.testing.assert_allclose(np.asarray(s_n), 1.0, atol=1e-4)
