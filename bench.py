@@ -62,8 +62,9 @@ def main():
     P = cfg.max_points
     u = jax.random.uniform(key, (P,), minval=8.0, maxval=Ww - 8.0)
     v = jax.random.uniform(jax.random.fold_in(key, 1), (P,), minval=8.0, maxval=Hh - 8.0)
-    tmpl = trk.build_template(u, v, jnp.full(P, 0.5), jnp.ones(P),
-                              jnp.ones(P, bool), pyr0)
+    build_template = jax.jit(trk.build_template)
+    tmpl = build_template(u, v, jnp.full(P, 0.5), jnp.ones(P),
+                          jnp.ones(P, bool), pyr0)
     K_pyr = jnp.stack([level_intrinsics(calib, l) for l in range(cfg.pyr_levels)])
     track = jax.jit(lambda t, p: trk.track_coarse(
         t, p, K_pyr, jnp.eye(3), jnp.zeros(3), jnp.zeros(2),
@@ -126,7 +127,7 @@ def main():
     t_track = timeit(lambda: track(tmpl, pyr1))
     t_trace = timeit(lambda: trace(trace_state, pyr1[0]))
     t_ba = timeit(lambda: ba(wnd, calib), n=5)
-    t_tmpl = timeit(lambda: trk.build_template(
+    t_tmpl = timeit(lambda: build_template(
         u, v, jnp.full(P, 0.5), jnp.ones(P), jnp.ones(P, bool), pyr0))
 
     per_frame = t_prep + t_track + t_trace

@@ -85,10 +85,15 @@ class SLAMSystem:
     """Monocular hybrid SLAM engine. Host-driven orchestration over
     jit-compiled device kernels."""
 
-    def __init__(self, fx, fy, cx, cy, width, height, cfg: Config = Config()):
+    def __init__(self, fx, fy, cx, cy, width, height, cfg: Config = Config(),
+                 enable_loop_closure: bool = False):
         self.cfg = cfg
         self.calib = make_calib(fx, fy, cx, cy, width, height)
         self.width, self.height = width, height
+        self.enable_loop_closure = enable_loop_closure
+        self.loop_closer = None          # built lazily once a vocab exists
+        self._vocab_descs: list = []     # descriptor pool for training
+        self.n_loops_closed = 0
         self.window = W.empty_window(cfg, height, width)
         self.imm = Immatures(cfg)
         self.shells: List[Shell] = []
@@ -140,6 +145,7 @@ class SLAMSystem:
         self._activate = jax.jit(partial(act_ops.activate_points, cfg=cfg))
         self._marg_points = jax.jit(partial(marginalize_points, cfg=cfg))
         self._marg_frame = jax.jit(partial(marginalize_frame, cfg=cfg))
+        self._build_template = jax.jit(trk_ops.build_template)
         self._select = {}   # per-pot compiled selector
 
         @jax.jit
@@ -615,6 +621,64 @@ class SLAMSystem:
             # drop immature points hosted there
             self.imm.valid = self.imm.valid & (self.imm.host != s)
 
+        # 11. hybrid indirect layer: descriptors + loop closure (optional;
+        # the reference links DBoW3/g2o but never exercises them — this is
+        # the declared-capability integration, "full hybrid mode")
+        if self.enable_loop_closure:
+            self._loop_closure_step(slot, shell, pyr)
+
+    # ---------------------------------------------------- loop closure
+    def _loop_closure_step(self, slot: int, shell: Shell, pyr):
+        from ..ops import orb as orb_ops
+        from ..ops import bow as bow_ops
+        from ..ops.pyramid import gaussian_blur7
+        from .loop_closure import LoopCloser
+
+        img = pyr[0][..., 0]
+        score = orb_ops.fast_score(img, float(self.cfg.min_th_fast))
+        u, v, valid = orb_ops.grid_nms(score, 8, 512)
+        ang = orb_ops.ic_angle(img, u, v)
+        desc = orb_ops.rbrief(gaussian_blur7(img), u, v, ang)
+
+        if self.loop_closer is None:
+            self._vocab_descs.append(np.asarray(desc)[np.asarray(valid)])
+            if len(self._vocab_descs) >= 8:
+                pool = np.concatenate(self._vocab_descs)
+                voc = bow_ops.train_vocabulary(pool, k=8, levels=3, iters=4)
+                self.loop_closer = LoopCloser(voc)
+            return
+
+        self.loop_closer.add_keyframe(
+            shell.kf_id, shell.id, desc, u, v, valid, shell.cam_to_world
+        )
+        K = np.array(
+            [[float(self.calib.value[0]), 0, float(self.calib.value[2])],
+             [0, float(self.calib.value[1]), float(self.calib.value[3])],
+             [0, 0, 1.0]])
+        loop = self.loop_closer.detect(len(self.loop_closer.entries) - 1, K)
+        if loop is None:
+            return
+        corrections = self.loop_closer.correct(loop, fix_scale=False)
+        self.n_loops_closed += 1
+        # re-anchor shells; window evalPTs follow their shells (HM/bM stay —
+        # the correction is near-rigid for the active window's recent part)
+        by_shell = dict(corrections)
+        for sh in self.shells:
+            if sh.id in by_shell:
+                sh.cam_to_world = by_shell[sh.id]
+        frames = self.window.frames
+        for s in range(self.cfg.max_frames):
+            sid = self.slot_shell[s]
+            if sid is not None and sid in by_shell and bool(frames.valid[s]):
+                Twc = np.linalg.inv(by_shell[sid])
+                frames = frames._replace(
+                    evalpt_R=frames.evalpt_R.at[s].set(
+                        jnp.asarray(Twc[:3, :3], jnp.float32)),
+                    evalpt_t=frames.evalpt_t.at[s].set(
+                        jnp.asarray(Twc[:3, 3], jnp.float32)),
+                )
+        self.window = self.window._replace(frames=frames)
+
     # ------------------------------------------------------- KF sub-steps
     def _flag_frames_for_marg(self, new_shell: Shell) -> List[int]:
         """flagFramesForMarginalization (FullSystemMarginalize.cpp:18-103)."""
@@ -827,7 +891,7 @@ class SLAMSystem:
         img = frames.images[slot]
         # rebuild pyramid of the ref image for the template
         pyr, _ = self._prep(img[..., 0])
-        self.template = trk_ops.build_template(
+        self.template = self._build_template(
             result.newest_proj_u, result.newest_proj_v,
             result.newest_proj_idepth, weight, valid, pyr,
         )
