@@ -4,17 +4,17 @@ TPU-native re-design of the reference CoarseTracker
 (reference: Src/CoarseTracker.cpp:29-683, Include/CoarseTracker.h:14-95):
 
   * The semi-dense inverse-depth template (`makeCoarseDepthL0`,
-    CoarseTracker.cpp:105-263) becomes dense per-level maps
-    (idepth, color, valid) built by scatter-add + 2x2 sum pooling +
-    one masked dilation pass — no compaction: the residual pass evaluates
-    every pixel under a validity mask, which on TPU is cheaper than
-    gather-compacting (the maps are small and the pass is bandwidth-bound).
+    CoarseTracker.cpp:105-263) is built as dense per-level maps
+    (scatter-add + 2x2 sum pooling + one masked dilation pass), then
+    compacted to fixed-capacity point lists per level — the reference's
+    pc_* lists — so each LM iteration touches only the ~2k live template
+    points instead of the full pixel grid.
   * `calcRes` + `calcGSSSE` (CoarseTracker.cpp:329-485, 267-324) fuse into a
-    single pass `residual_pass` producing (E, n, nSat, flow, H, b) in one
+    single pass `_residual_pass` producing (E, n, nSat, flow, H, b) in one
     sweep — one warp+gather per LM iteration instead of two.
-  * The per-level LM loop (CoarseTracker.cpp:559-646) is a lax.fori_loop
-    with branchless accept/reject via jnp.where; the adaptive
-    cutoff-doubling repeat (CoarseTracker.cpp:532-539) is a small
+  * The per-level LM loop (CoarseTracker.cpp:559-646) is a lax.while_loop
+    with convergence exit and branchless accept/reject via jnp.where; the
+    adaptive cutoff-doubling repeat (CoarseTracker.cpp:532-539) is a small
     lax.while_loop on the cutoff scalar.
 
 State conventions match the reference: pose is refToNew (SE3 as (R, t)),
@@ -43,12 +43,22 @@ _PRECOND = jnp.array(
 )
 
 
-class Template(NamedTuple):
-    """Per-level dense tracking template (lists indexed by level)."""
+TEMPLATE_CAP = 8192   # max compacted template points per level
 
-    idepth: List[jnp.ndarray]   # (Hl, Wl) inverse depth
-    color: List[jnp.ndarray]    # (Hl, Wl) reference intensity
-    valid: List[jnp.ndarray]    # (Hl, Wl) bool
+
+class Template(NamedTuple):
+    """Per-level compacted tracking template (lists indexed by level).
+
+    Like the reference's pc_u/pc_v/pc_idepth/pc_color point lists
+    (CoarseTracker.h:60-63): only valid template pixels, packed to a fixed
+    capacity — at level 0 that is ~2k of 307k pixels, so compaction cuts
+    the per-LM-iteration gather traffic by ~100x vs. dense masking."""
+
+    u: List[jnp.ndarray]        # (C_l,) pixel x
+    v: List[jnp.ndarray]        # (C_l,) pixel y
+    idepth: List[jnp.ndarray]   # (C_l,)
+    color: List[jnp.ndarray]    # (C_l,) reference intensity
+    valid: List[jnp.ndarray]    # (C_l,) bool
 
 
 def rel_affine(exp_ref: jnp.ndarray, exp_new: jnp.ndarray,
@@ -94,17 +104,18 @@ def build_template(
     id_map = id_map.reshape(H0, W0)
     w_map = w_map.reshape(H0, W0)
 
-    idepths, colors, valids = [], [], []
+    us, vs, idepths, colors, valids = [], [], [], [], []
     for lvl in range(n_levels):
         if lvl > 0:
-            # 2x2 SUM pooling of both numerator and weight (CoarseTracker.cpp:132-157)
+            # 2x2 SUM pooling of the *raw* scatter maps level by level
+            # (CoarseTracker.cpp:132-157 pools before any dilation)
             Hc, Wc = id_map.shape
             H2, W2 = Hc // 2, Wc // 2
             id_map = id_map[: H2 * 2, : W2 * 2].reshape(H2, 2, W2, 2).sum(axis=(1, 3))
             w_map = w_map[: H2 * 2, : W2 * 2].reshape(H2, 2, W2, 2).sum(axis=(1, 3))
 
-        # one dilation pass: diagonal neighbors at lvl<2, 4-neighborhood above
-        # (CoarseTracker.cpp:160-213)
+        # one dilation pass into per-level copies: diagonal neighbors at
+        # lvl<2, 4-neighborhood above (CoarseTracker.cpp:160-213)
         if lvl < 2:
             shifts = [(1, 1), (-1, -1), (1, -1), (-1, 1)]
         else:
@@ -122,25 +133,32 @@ def build_template(
             cnt = cnt + ok.astype(jnp.float32)
         fill = (~has) & (cnt > 0)
         safe_cnt = jnp.maximum(cnt, 1.0)
-        id_map = jnp.where(fill, sum_id / safe_cnt, id_map)
-        w_map = jnp.where(fill, sum_w / safe_cnt, w_map)
+        id_lvl = jnp.where(fill, sum_id / safe_cnt, id_map)
+        w_lvl = jnp.where(fill, sum_w / safe_cnt, w_map)
 
         # normalize (CoarseTracker.cpp:216-261)
-        Hl, Wl = id_map.shape
+        Hl, Wl = id_lvl.shape
         ys = jnp.arange(Hl)[:, None]
         xs = jnp.arange(Wl)[None, :]
         border_ok = (ys >= 2) & (ys < Hl - 2) & (xs >= 2) & (xs < Wl - 2)
-        idl = jnp.where(w_map > 0, id_map / jnp.maximum(w_map, 1e-12), -1.0)
+        idl = jnp.where(w_lvl > 0, id_lvl / jnp.maximum(w_lvl, 1e-12), -1.0)
         color = ref_pyr[lvl][..., 0]
-        ok = (w_map > 0) & (idl > 0) & border_ok & jnp.isfinite(color)
+        ok = (w_lvl > 0) & (idl > 0) & border_ok & jnp.isfinite(color)
 
-        idepths.append(idl)
-        colors.append(color)
-        valids.append(ok)
-        # next-level pooling uses the *dilated, un-normalized* maps, matching
-        # the reference order? No: the reference pools the raw scatter maps
-        # level-by-level BEFORE dilation (dilation happens after all pooling).
-    return Template(idepth=idepths, color=colors, valid=valids)
+        # compact to a fixed-capacity point list (pc_* lists in the
+        # reference, CoarseTracker.cpp:225-261)
+        cap = min(Hl * Wl, TEMPLATE_CAP)
+        score = ok.reshape(-1).astype(jnp.float32)
+        top_score, top_idx = jax.lax.top_k(score, cap)
+        pv = top_score > 0.0
+        pu = (top_idx % Wl).astype(jnp.float32)
+        pvy = (top_idx // Wl).astype(jnp.float32)
+        us.append(pu)
+        vs.append(pvy)
+        idepths.append(idl.reshape(-1)[top_idx])
+        colors.append(color.reshape(-1)[top_idx])
+        valids.append(pv)
+    return Template(u=us, v=vs, idepth=idepths, color=colors, valid=valids)
 
 
 class TrackResult(NamedTuple):
@@ -152,23 +170,21 @@ class TrackResult(NamedTuple):
     flow: jnp.ndarray               # (3,) flow indicators [T, 0, RT]
 
 
-def _residual_pass(tmpl_id, tmpl_color, tmpl_valid, target_img,
-                   K_lvl, R, t, a_rel, b_rel, b0, cutoff, huber_th,
-                   compute_flow: bool):
-    """One fused sweep over a level: warp every valid template pixel, gather
-    target intensity+gradient, form robust residuals and the 8x8 GN system.
+def _residual_pass(tmpl_u, tmpl_v, tmpl_id, tmpl_color, tmpl_valid,
+                   target_img, K_lvl, R, t, a_rel, b_rel, b0, cutoff,
+                   huber_th, compute_flow: bool):
+    """One fused sweep over a level: warp the compacted template points,
+    gather target intensity+gradient, form robust residuals and the 8x8 GN
+    system.
 
     Replaces calcRes + calcGSSSE (CoarseTracker.cpp:329-485, 267-324).
-    Returns (E, n_terms, n_sat, H (8,8), b (8,), flowT, flowRT, flowN).
+    Returns (E, n_terms, n_sat, H (8,8), b (8,), flowT, flowRT).
     """
-    Hl, Wl = tmpl_id.shape
+    Hl, Wl = target_img.shape[0], target_img.shape[1]
     fx, fy, cx, cy = K_lvl[0], K_lvl[1], K_lvl[2], K_lvl[3]
 
-    ys = jnp.arange(Hl, dtype=jnp.float32)[:, None]
-    xs = jnp.arange(Wl, dtype=jnp.float32)[None, :]
-    xs = jnp.broadcast_to(xs, (Hl, Wl))
-    ys = jnp.broadcast_to(ys, (Hl, Wl))
-
+    xs = tmpl_u                  # (C,)
+    ys = tmpl_v
     idp = tmpl_id
     # back-project with K^-1, rotate, translate (RKi * (x,y,1) + t*id)
     px = (xs - cx) / fx
@@ -196,10 +212,10 @@ def _residual_pass(tmpl_id, tmpl_color, tmpl_valid, target_img,
     dy_f = Kvc - iy.astype(jnp.float32)
     flat = target_img.reshape(Hl * Wl, 3)
     base = iy * Wl + ix
-    p00 = flat[base.reshape(-1)].reshape(Hl, Wl, 3)
-    p01 = flat[(base + 1).reshape(-1)].reshape(Hl, Wl, 3)
-    p10 = flat[(base + Wl).reshape(-1)].reshape(Hl, Wl, 3)
-    p11 = flat[(base + Wl + 1).reshape(-1)].reshape(Hl, Wl, 3)
+    p00 = flat[base]
+    p01 = flat[base + 1]
+    p10 = flat[base + Wl]
+    p11 = flat[base + Wl + 1]
     wx = dx_f[..., None]
     wy = dy_f[..., None]
     hit = (p00 * (1 - wx) + p01 * wx) * (1 - wy) + (p10 * (1 - wx) + p11 * wx) * wy
@@ -239,13 +255,11 @@ def _residual_pass(tmpl_id, tmpl_color, tmpl_valid, target_img,
             -jnp.ones_like(refc),
         ],
         axis=-1,
-    )  # (Hl, Wl, 8)
+    )  # (C, 8)
     wt = (hw * m)[..., None]
     Jw = J * wt
-    Jf = J.reshape(-1, 8)
-    Jwf = Jw.reshape(-1, 8)
-    Hmat = Jf.T @ Jwf                                  # (8, 8) MXU
-    bvec = Jf.T @ (residual * hw * m).reshape(-1)      # J^T W r
+    Hmat = J.T @ Jw                                    # (8, 8) MXU
+    bvec = J.T @ (residual * hw * m)                   # J^T W r
 
     if compute_flow:
         # flow indicators over every valid template pixel (reference samples
@@ -322,6 +336,8 @@ def track_coarse(
 
     def run_level(lvl, R, t, aff, active):
         """One level of LM. `active` masks out the whole level (early abort)."""
+        tmpl_u = template.u[lvl]
+        tmpl_vv = template.v[lvl]
         tmpl_id = template.idepth[lvl]
         tmpl_c = template.color[lvl]
         tmpl_v = template.valid[lvl]
@@ -331,7 +347,7 @@ def track_coarse(
         def res_at(R_, t_, aff_, cutoff, with_flow=False):
             a_rel, b_rel = rel_affine(exp_ref, exp_new, aff_ref, aff_)
             return _residual_pass(
-                tmpl_id, tmpl_c, tmpl_v, timg, K_lvl, R_, t_,
+                tmpl_u, tmpl_vv, tmpl_id, tmpl_c, tmpl_v, timg, K_lvl, R_, t_,
                 a_rel, b_rel, b0_ref, cutoff, huber, with_flow,
             )
 
