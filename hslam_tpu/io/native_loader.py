@@ -1,0 +1,118 @@
+"""ctypes binding for the native (C++) prefetching frame loader.
+
+Wraps native/libhslam_loader.so (see native/loader.cpp) — the host-runtime
+equivalent of the reference's DatasetLoader worker thread. Falls back
+gracefully when the library has not been built.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional
+
+import numpy as np
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "native", "build",
+                 "libhslam_loader.so"),
+]
+
+
+def _load_lib():
+    for p in _LIB_PATHS:
+        p = os.path.abspath(p)
+        if os.path.exists(p):
+            lib = ctypes.CDLL(p)
+            lib.loader_open.restype = ctypes.c_void_p
+            lib.loader_open.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.loader_get.restype = ctypes.c_int
+            lib.loader_get.argtypes = [
+                ctypes.c_void_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.loader_set_photometric.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ]
+            lib.loader_close.argtypes = [ctypes.c_void_p]
+            lib.loader_count.restype = ctypes.c_int
+            lib.loader_count.argtypes = [ctypes.c_void_p]
+            return lib
+    return None
+
+
+_LIB = None
+
+
+def available() -> bool:
+    global _LIB
+    if _LIB is None:
+        _LIB = _load_lib()
+    return _LIB is not None
+
+
+class NativeLoader:
+    """Threaded prefetching decoder over an explicit file list."""
+
+    def __init__(self, paths: List[str], n_prefetch: int = 8,
+                 n_threads: int = 2,
+                 inv_response: Optional[np.ndarray] = None,
+                 inv_vignette: Optional[np.ndarray] = None):
+        if not available():
+            raise RuntimeError(
+                "native loader not built — run native/build.sh"
+            )
+        arr = (ctypes.c_char_p * len(paths))(
+            *[p.encode() for p in paths]
+        )
+        self._h = _LIB.loader_open(arr, len(paths), n_prefetch, n_threads)
+        self._n = len(paths)
+        if inv_response is not None or inv_vignette is not None:
+            resp = None
+            vig = None
+            vw = vh = 0
+            if inv_response is not None:
+                r = np.ascontiguousarray(inv_response, np.float32)
+                assert r.shape == (256,)
+                resp = r.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                self._keep_r = r
+            if inv_vignette is not None:
+                v = np.ascontiguousarray(inv_vignette, np.float32)
+                vh, vw = v.shape
+                vig = v.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                self._keep_v = v
+            _LIB.loader_set_photometric(self._h, resp, vig, vw, vh)
+        self._buf = None
+
+    def __len__(self):
+        return self._n
+
+    def get(self, idx: int) -> np.ndarray:
+        """Blocking fetch of frame idx as (H, W) float32."""
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        if self._buf is None:
+            self._buf = np.empty(4096 * 4096, np.float32)
+        rc = _LIB.loader_get(
+            self._h, idx,
+            self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._buf.size, ctypes.byref(w), ctypes.byref(h),
+        )
+        if rc != 0:
+            raise IOError(f"native loader failed on frame {idx}: rc={rc}")
+        return self._buf[: w.value * h.value].reshape(h.value, w.value).copy()
+
+    def close(self):
+        if self._h:
+            _LIB.loader_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

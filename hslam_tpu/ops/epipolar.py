@@ -144,13 +144,12 @@ def trace_on(
     Rp = KRKi[:, :2, :2]                                       # (P, 2, 2)
     rot_pat = jnp.einsum("pij,kj->pki", Rp, pat)               # (P, 8, 2)
 
-    # --- discrete search: (P, S, 8) sample grid
-    S = cfg.trace_max_steps
+    # --- discrete search: (P, S, 8) sample grid at stride 2
+    S = (cfg.trace_max_steps + 1) // 2
     steps = jnp.arange(S, dtype=jnp.float32)
-    px = ptx0[:, None] + steps[None, :] * dxn[:, None]         # (P, S)
-    py = pty0[:, None] + steps[None, :] * dyn[:, None]
-    sx = px[:, :, None] + rot_pat[:, None, :, 0]               # (P, S, 8)
-    sy = py[:, :, None] + rot_pat[:, None, :, 1]
+    # stride-2 sample positions along the line (pixel offsets 0,2,4,...)
+    px = ptx0[:, None] + (steps[None, :] * 2.0) * dxn[:, None]   # (P, S)
+    py = pty0[:, None] + (steps[None, :] * 2.0) * dyn[:, None]
 
     img = target[:, :, 0]
     def sample(x, y):
@@ -168,23 +167,47 @@ def trace_on(
         p11 = flat[base + Wimg + 1]
         return (p00 * (1 - fx_) + p01 * fx_) * (1 - fy_) + (p10 * (1 - fx_) + p11 * fx_) * fy_
 
-    hit = sample(sx, sy)                                       # (P, S, 8)
-    residual = hit - (affine[:, None, None, 0] * color[:, None, :] + affine[:, None, None, 1])
-    abs_r = jnp.abs(residual)
-    hw = jnp.where(abs_r < cfg.huber_th, 1.0, cfg.huber_th / jnp.maximum(abs_r, 1e-12))
-    energies = jnp.sum(hw * residual * residual * (2.0 - hw), axis=-1)  # (P, S)
+    def ssd_at(px_, py_):
+        sx_ = px_[..., None] + rot_pat[:, None, :, 0]
+        sy_ = py_[..., None] + rot_pat[:, None, :, 1]
+        hit_ = sample(sx_, sy_)
+        r_ = hit_ - (affine[:, None, None, 0] * color[:, None, :]
+                     + affine[:, None, None, 1])
+        a_ = jnp.abs(r_)
+        hw_ = jnp.where(a_ < cfg.huber_th, 1.0,
+                        cfg.huber_th / jnp.maximum(a_, 1e-12))
+        return jnp.sum(hw_ * r_ * r_ * (2.0 - hw_), axis=-1)
 
-    step_valid = steps[None, :] < n_steps[:, None].astype(jnp.float32)
+    # two-phase search: stride-2 sweep, then +-1 refinement around the
+    # winner — halves the gather traffic of the reference's unit-stride
+    # sweep; the SSD over the smoothed 8-pattern is ~1px smooth so the
+    # refinement recovers the unit-stride winner (GN then goes sub-pixel)
+    energies = ssd_at(px, py)                                  # (P, S) stride 2
+    steps_px = steps * 2.0
+    step_valid = steps_px[None, :] < n_steps[:, None].astype(jnp.float32)
     energies = jnp.where(step_valid, energies, 1e10)
 
-    best_idx = jnp.argmin(energies, axis=-1)
+    best_i2 = jnp.argmin(energies, axis=-1)
     best_energy = jnp.min(energies, axis=-1)
-    best_u = ptx0 + best_idx * dxn
-    best_v = pty0 + best_idx * dyn
+    best_step = best_i2.astype(jnp.float32) * 2.0              # pixel units
 
-    # second best outside +-2 step radius (ImmaturePoint.cpp:234-242)
-    idxs = jnp.arange(S)[None, :]
-    outside = (idxs < best_idx[:, None] - 2) | (idxs > best_idx[:, None] + 2)
+    # refine: evaluate best_step - 1 and + 1
+    ref_steps = jnp.stack([best_step - 1.0, best_step + 1.0], -1)  # (P, 2)
+    ref_valid = (ref_steps >= 0) & (ref_steps < n_steps[:, None].astype(jnp.float32))
+    rx = ptx0[:, None] + ref_steps * dxn[:, None]
+    ry = pty0[:, None] + ref_steps * dyn[:, None]
+    ref_E = jnp.where(ref_valid, ssd_at(rx, ry), 1e10)         # (P, 2)
+    all_E = jnp.concatenate([best_energy[:, None], ref_E], axis=-1)
+    all_steps = jnp.concatenate([best_step[:, None], ref_steps], axis=-1)
+    pick = jnp.argmin(all_E, axis=-1)
+    best_energy = jnp.take_along_axis(all_E, pick[:, None], 1)[:, 0]
+    best_step = jnp.take_along_axis(all_steps, pick[:, None], 1)[:, 0]
+    best_u = ptx0 + best_step * dxn
+    best_v = pty0 + best_step * dyn
+
+    # second best outside +-2 px radius (ImmaturePoint.cpp:234-242)
+    idxs = steps_px[None, :]
+    outside = (idxs < best_step[:, None] - 2.0) | (idxs > best_step[:, None] + 2.0)
     second = jnp.min(jnp.where(outside & step_valid, energies, 1e10), axis=-1)
     new_quality = second / jnp.maximum(best_energy, 1e-12)
     quality = jnp.where(

@@ -1,0 +1,173 @@
+// Native frame loader: threaded decode + prefetch for the SLAM frontend.
+//
+// Host-runtime equivalent of the reference's DatasetLoader + parallel
+// reader thread (reference: Include/DatasetLoader.h:61-119,374-434): a
+// worker pool decodes frames ahead of the consumer so image decode never
+// stalls the device pipeline. Exposes a C ABI consumed via ctypes
+// (hslam_tpu/io/native_loader.py).
+//
+// The Python side enumerates file paths/timestamps (layout parsing is not
+// perf-critical); this library owns decode (OpenCV imread, grayscale),
+// optional photometric LUT + inverse vignette application, and the
+// prefetch scheduling.
+
+#include <opencv2/imgcodecs.hpp>
+#include <opencv2/imgproc.hpp>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstring>
+#include <deque>
+#include <map>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Frame {
+  std::vector<float> data;
+  int width = 0;
+  int height = 0;
+  bool ok = false;
+};
+
+struct Loader {
+  std::vector<std::string> paths;
+  int n_prefetch;
+  // photometric correction (optional): 256-entry inverse response,
+  // full-resolution inverse vignette
+  std::vector<float> inv_response;   // empty = identity
+  std::vector<float> inv_vignette;   // empty = none
+  int vig_w = 0, vig_h = 0;
+
+  std::mutex mu;
+  std::condition_variable cv_ready;
+  std::condition_variable cv_work;
+  std::map<int, Frame> cache;
+  std::deque<int> queue;
+  std::atomic<int> next_consumer{0};
+  std::atomic<bool> stop{false};
+  std::vector<std::thread> workers;
+
+  Frame decode(int idx) {
+    Frame f;
+    cv::Mat img = cv::imread(paths[idx], cv::IMREAD_GRAYSCALE);
+    if (img.empty()) return f;
+    f.width = img.cols;
+    f.height = img.rows;
+    f.data.resize(static_cast<size_t>(img.cols) * img.rows);
+    const bool use_resp = inv_response.size() == 256;
+    const bool use_vig =
+        !inv_vignette.empty() && vig_w == img.cols && vig_h == img.rows;
+    for (int y = 0; y < img.rows; ++y) {
+      const uint8_t* row = img.ptr<uint8_t>(y);
+      float* out = f.data.data() + static_cast<size_t>(y) * img.cols;
+      for (int x = 0; x < img.cols; ++x) {
+        float v = use_resp ? inv_response[row[x]] : static_cast<float>(row[x]);
+        if (use_vig) v *= inv_vignette[static_cast<size_t>(y) * img.cols + x];
+        out[x] = v;
+      }
+    }
+    f.ok = true;
+    return f;
+  }
+
+  void worker() {
+    for (;;) {
+      int idx = -1;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_work.wait(lk, [&] { return stop.load() || !queue.empty(); });
+        if (stop.load()) return;
+        idx = queue.front();
+        queue.pop_front();
+      }
+      Frame f = decode(idx);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        cache[idx] = std::move(f);
+      }
+      cv_ready.notify_all();
+    }
+  }
+
+  void schedule_ahead(int from) {
+    // enqueue [from, from + n_prefetch) not yet cached/queued
+    std::lock_guard<std::mutex> lk(mu);
+    for (int i = from; i < from + n_prefetch && i < (int)paths.size(); ++i) {
+      if (cache.count(i)) continue;
+      bool queued = false;
+      for (int q : queue)
+        if (q == i) { queued = true; break; }
+      if (!queued) queue.push_back(i);
+    }
+    // drop stale frames well behind the consumer
+    for (auto it = cache.begin(); it != cache.end();) {
+      if (it->first < from - 2)
+        it = cache.erase(it);
+      else
+        ++it;
+    }
+    cv_work.notify_all();
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* loader_open(const char** paths, int n, int n_prefetch, int n_threads) {
+  auto* L = new Loader();
+  L->paths.assign(paths, paths + n);
+  L->n_prefetch = n_prefetch;
+  for (int i = 0; i < n_threads; ++i)
+    L->workers.emplace_back([L] { L->worker(); });
+  L->schedule_ahead(0);
+  return L;
+}
+
+void loader_set_photometric(void* h, const float* inv_response,
+                            const float* inv_vignette, int vw, int vh) {
+  auto* L = static_cast<Loader*>(h);
+  std::lock_guard<std::mutex> lk(L->mu);
+  if (inv_response) L->inv_response.assign(inv_response, inv_response + 256);
+  if (inv_vignette) {
+    L->inv_vignette.assign(inv_vignette,
+                           inv_vignette + static_cast<size_t>(vw) * vh);
+    L->vig_w = vw;
+    L->vig_h = vh;
+  }
+}
+
+// Blocking fetch of frame idx into out (size cap floats). Returns 0 on
+// success; fills *w, *h. Prefetches ahead of idx.
+int loader_get(void* h, int idx, float* out, long cap, int* w, int* hh) {
+  auto* L = static_cast<Loader*>(h);
+  if (idx < 0 || idx >= (int)L->paths.size()) return -1;
+  L->schedule_ahead(idx);
+  std::unique_lock<std::mutex> lk(L->mu);
+  L->cv_ready.wait(lk, [&] { return L->cache.count(idx) > 0; });
+  Frame& f = L->cache[idx];
+  if (!f.ok) return -2;
+  if ((long)f.data.size() > cap) return -3;
+  *w = f.width;
+  *hh = f.height;
+  std::memcpy(out, f.data.data(), f.data.size() * sizeof(float));
+  return 0;
+}
+
+int loader_count(void* h) {
+  return (int)static_cast<Loader*>(h)->paths.size();
+}
+
+void loader_close(void* h) {
+  auto* L = static_cast<Loader*>(h);
+  L->stop.store(true);
+  L->cv_work.notify_all();
+  for (auto& t : L->workers) t.join();
+  delete L;
+}
+
+}  // extern "C"

@@ -119,21 +119,36 @@ def main():
         from hslam_tpu.ops.undistort import remap_image, photometric_correct
 
         remap = jnp.asarray(cam.remap)
-        inv_resp = None
+        inv_resp_np = None
         if rd.photometric.gamma is not None:
             from hslam_tpu.ops.undistort import invert_response
-            inv_resp = invert_response(jnp.asarray(rd.photometric.gamma))
-        inv_vig = (jnp.asarray(rd.photometric.inv_vignette)
-                   if rd.photometric.inv_vignette is not None else None)
+            inv_resp_np = np.asarray(invert_response(jnp.asarray(rd.photometric.gamma)))
+        inv_vig_np = rd.photometric.inv_vignette
+
+        # native threaded prefetch loader when built and not a zip dataset
+        from hslam_tpu.io import native_loader
+        use_native = native_loader.available() and rd._zip is None
+        if use_native:
+            nl = native_loader.NativeLoader(
+                rd.files, n_prefetch=8, n_threads=2,
+                inv_response=inv_resp_np, inv_vignette=inv_vig_np,
+            )
+        inv_resp = jnp.asarray(inv_resp_np) if inv_resp_np is not None else None
+        inv_vig = jnp.asarray(inv_vig_np) if inv_vig_np is not None else None
 
         n = len(rd) if not args.max_frames else min(len(rd), args.max_frames)
         t0 = time.time()
         for i in range(n):
-            fd = rd.get_raw(i)
-            img = jnp.asarray(fd.image)
-            img = photometric_correct(img, inv_resp, inv_vig)
+            if use_native:
+                # photometric correction already applied natively
+                img = jnp.asarray(nl.get(i))
+                ts, exp = rd.timestamps[i], rd.exposures[i]
+            else:
+                fd = rd.get_raw(i)
+                img = photometric_correct(jnp.asarray(fd.image), inv_resp, inv_vig)
+                ts, exp = fd.timestamp, fd.exposure
             img = remap_image(img, remap)
-            sys_.process_frame(np.asarray(img), fd.timestamp, fd.exposure)
+            sys_.process_frame(np.asarray(img), ts, exp)
             if sys_.is_lost:
                 print(f"LOST at frame {i}")
                 break
