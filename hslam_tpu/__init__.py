@@ -21,9 +21,21 @@ Subpackages:
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # SLAM estimation is ill-conditioned (Hessians with priors up to 1e14); the
 # TPU default of bf16 matmul inputs silently destroys it. Hot image kernels
 # that tolerate bf16 opt in explicitly at the call site.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# persistent compilation cache: the framework compiles ~10 large graphs;
+# caching makes process restarts (and flaky remote-compile environments)
+# incremental instead of from-scratch
+_cache_dir = _os.environ.get("HSLAM_JAX_CACHE", "/tmp/hslam_jax_cache")
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass

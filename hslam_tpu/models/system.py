@@ -171,7 +171,25 @@ class SLAMSystem:
         self._sample_pattern = sample_pattern
 
     def _select_px(self, pot, dir_img, grads, want, seed):
+        """Candidate pixel source. Default: the PixelSelector gradient
+        sampler (reference UseFAST=false default, Detector.cpp:56-67);
+        cfg.use_fast switches to FAST corners + grid NMS
+        (Detector.cpp:47-55 + Ssc)."""
         cfg = self.cfg
+        if cfg.use_fast:
+            if "fast" not in self._select:
+                from ..ops import orb as orb_ops
+
+                def fast_sel(d, w, s):
+                    score = orb_ops.fast_score(d[..., 0], float(cfg.min_th_fast))
+                    u, v, valid = orb_ops.grid_nms(
+                        score, max(cfg.enforced_min_dist, 4), cfg.max_features
+                    )
+                    ptype = jnp.ones_like(u, jnp.int32)
+                    return u, v, ptype, valid
+
+                self._select["fast"] = jax.jit(fast_sel)
+            return self._select["fast"](dir_img, jnp.int32(want), jnp.int32(seed))
         if pot not in self._select:
             self._select[pot] = jax.jit(
                 lambda d, g0, g1, g2, w, s: sel_ops.compact_selection(

@@ -243,24 +243,25 @@ def linearize(
     center_v = Kv[..., 4]
     center_idepth = points.idepth[:, None] / z[..., 4]
 
-    # gather target intensities + precomputed gradients, per frame
+    # gather target intensities + precomputed gradients, per frame; packed
+    # 2x2 cells make each bilinear sample one row gather (utils.interp)
+    from ..utils.interp import pack_cells
+
     def gather_frame(img, KuF, KvF):
         # img (H, W, 3); KuF/KvF (P, 8)
+        packed = jnp.stack([pack_cells(img[..., c]) for c in range(3)], axis=2)
         Kuc = jnp.clip(KuF, 0.0, Ww - 1.001)
         Kvc = jnp.clip(KvF, 0.0, Hh - 1.001)
         ix = jnp.clip(jnp.floor(Kuc).astype(jnp.int32), 0, Ww - 2)
         iy = jnp.clip(jnp.floor(Kvc).astype(jnp.int32), 0, Hh - 2)
         dxf = Kuc - ix
         dyf = Kvc - iy
-        flat = img.reshape(-1, 3)
-        base = iy * Ww + ix
-        p00 = flat[base]
-        p01 = flat[base + 1]
-        p10 = flat[base + Ww]
-        p11 = flat[base + Ww + 1]
+        cells = packed.reshape(Hh * Ww, 3, 4)[iy * Ww + ix]   # (P, 8, 3, 4)
         wx = dxf[..., None]
         wy = dyf[..., None]
-        return (p00 * (1 - wx) + p01 * wx) * (1 - wy) + (p10 * (1 - wx) + p11 * wx) * wy
+        top = cells[..., 0] * (1 - wx) + cells[..., 1] * wx
+        bot = cells[..., 2] * (1 - wx) + cells[..., 3] * wx
+        return top * (1 - wy) + bot * wy
 
     hit = jax.vmap(gather_frame, in_axes=(0, 1, 1), out_axes=1)(
         frames.images, Ku, Kv

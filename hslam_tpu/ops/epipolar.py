@@ -151,21 +151,14 @@ def trace_on(
     px = ptx0[:, None] + (steps[None, :] * 2.0) * dxn[:, None]   # (P, S)
     py = pty0[:, None] + (steps[None, :] * 2.0) * dyn[:, None]
 
-    img = target[:, :, 0]
+    # packed-cell image: one gather per bilinear sample (see
+    # utils.interp.pack_cells) — the discrete search is gather-bound
+    from ..utils.interp import bilinear_packed, pack_cells
+
+    packed = pack_cells(target[:, :, 0])
+
     def sample(x, y):
-        xc = jnp.clip(x, 0.0, Wimg - 1.0)
-        yc = jnp.clip(y, 0.0, Himg - 1.0)
-        ix = jnp.clip(jnp.floor(xc).astype(jnp.int32), 0, Wimg - 2)
-        iy = jnp.clip(jnp.floor(yc).astype(jnp.int32), 0, Himg - 2)
-        fx_ = xc - ix
-        fy_ = yc - iy
-        flat = img.reshape(-1)
-        base = iy * Wimg + ix
-        p00 = flat[base]
-        p01 = flat[base + 1]
-        p10 = flat[base + Wimg]
-        p11 = flat[base + Wimg + 1]
-        return (p00 * (1 - fx_) + p01 * fx_) * (1 - fy_) + (p10 * (1 - fx_) + p11 * fx_) * fy_
+        return bilinear_packed(packed, x, y)
 
     def ssd_at(px_, py_):
         sx_ = px_[..., None] + rot_pat[:, None, :, 0]

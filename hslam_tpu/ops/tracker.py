@@ -203,22 +203,20 @@ def _residual_pass(tmpl_u, tmpl_v, tmpl_id, tmpl_color, tmpl_valid,
     in_bounds = (Ku > 2) & (Kv > 2) & (Ku < Wl - 3) & (Kv < Hl - 3) & (new_idepth > 0)
     mask = tmpl_valid & in_bounds
 
-    # gather target intensity + gradients (precomputed dI channels)
+    # gather target [I, dx, dy] with ONE packed-cell row gather per sample
+    # (target_img is pre-packed (H, W, 3, 4) by track_coarse)
     Kuc = jnp.clip(Ku, 0.0, Wl - 1.001)
     Kvc = jnp.clip(Kv, 0.0, Hl - 1.001)
     ix = jnp.clip(jnp.floor(Kuc).astype(jnp.int32), 0, Wl - 2)
     iy = jnp.clip(jnp.floor(Kvc).astype(jnp.int32), 0, Hl - 2)
     dx_f = Kuc - ix.astype(jnp.float32)
     dy_f = Kvc - iy.astype(jnp.float32)
-    flat = target_img.reshape(Hl * Wl, 3)
-    base = iy * Wl + ix
-    p00 = flat[base]
-    p01 = flat[base + 1]
-    p10 = flat[base + Wl]
-    p11 = flat[base + Wl + 1]
+    cells = target_img.reshape(Hl * Wl, 3, 4)[iy * Wl + ix]   # (C, 3, 4)
     wx = dx_f[..., None]
     wy = dy_f[..., None]
-    hit = (p00 * (1 - wx) + p01 * wx) * (1 - wy) + (p10 * (1 - wx) + p11 * wx) * wy
+    top = cells[..., 0] * (1 - wx) + cells[..., 1] * wx
+    bot = cells[..., 2] * (1 - wx) + cells[..., 3] * wx
+    hit = top * (1 - wy) + bot * wy                            # (C, 3)
 
     hit_I, hit_dx, hit_dy = hit[..., 0], hit[..., 1], hit[..., 2]
     mask = mask & jnp.isfinite(hit_I)
@@ -328,6 +326,15 @@ def track_coarse(
     b0_ref = aff_ref[1]
     max_iters = cfg.tracker_iters_per_level
 
+    # pre-pack every level's [I, dx, dy] into per-pixel 2x2 cells so each
+    # bilinear sample in the LM loops is ONE row gather (utils.interp)
+    from ..utils.interp import pack_cells
+
+    packed_pyr = [
+        jnp.stack([pack_cells(t[..., c]) for c in range(3)], axis=2)
+        for t in target_pyr
+    ]  # [(H, W, 3, 4)]
+
     R, t, aff = R0, t0, aff0
     ok = jnp.bool_(True)
     level_res = [jnp.float32(jnp.nan)] * n_levels
@@ -341,7 +348,7 @@ def track_coarse(
         tmpl_id = template.idepth[lvl]
         tmpl_c = template.color[lvl]
         tmpl_v = template.valid[lvl]
-        timg = target_pyr[lvl]
+        timg = packed_pyr[lvl]
         K_lvl = K_pyr[lvl]
 
         def res_at(R_, t_, aff_, cutoff, with_flow=False):

@@ -76,6 +76,35 @@ def bilinear_with_grad(img, x, y):
     return val, right - left, bot - top
 
 
+def pack_cells(img: jnp.ndarray) -> jnp.ndarray:
+    """Pack each pixel's 2x2 interpolation cell into channels:
+    (H, W) -> (H, W, 4) = [I(y,x), I(y,x+1), I(y+1,x), I(y+1,x+1)].
+
+    Bilinear sampling then needs ONE row gather instead of four — XLA/TPU
+    gathers are per-row scalar-unit bound, so this is ~4x on gather-heavy
+    kernels (epipolar search, tracker warp). Last row/col duplicate their
+    neighbors (samples are clamped to W-2/H-2 anyway)."""
+    r = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    d = jnp.concatenate([img[1:, :], img[-1:, :]], axis=0)
+    rd = jnp.concatenate([r[1:, :], r[-1:, :]], axis=0)
+    return jnp.stack([img, r, d, rd], axis=-1)
+
+
+def bilinear_packed(packed: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """Sample a pack_cells() image with one gather per sample."""
+    H, W = packed.shape[0], packed.shape[1]
+    xc = jnp.clip(x, 0.0, W - 1.0)
+    yc = jnp.clip(y, 0.0, H - 1.0)
+    ix = jnp.clip(jnp.floor(xc).astype(jnp.int32), 0, W - 2)
+    iy = jnp.clip(jnp.floor(yc).astype(jnp.int32), 0, H - 2)
+    dx = xc - ix
+    dy = yc - iy
+    cells = packed.reshape(H * W, 4)[iy * W + ix]      # (..., 4)
+    top = cells[..., 0] * (1 - dx) + cells[..., 1] * dx
+    bot = cells[..., 2] * (1 - dx) + cells[..., 3] * dx
+    return top * (1 - dy) + bot * dy
+
+
 def in_bounds(x, y, width, height, border: float = 1.1, margin: float = 3.0):
     """Validity predicate matching the reference projectPoint bounds
     (Include/DirectProjection.h:17,37): border < u < W - margin."""

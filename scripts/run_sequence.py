@@ -69,6 +69,11 @@ def main():
     ap.add_argument("--dataset", type=str, default=None)
     ap.add_argument("--out", type=str, default="/tmp/traj.txt")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--realtime", action="store_true",
+                    help="pace playback by input timestamps, skipping frames "
+                         "when behind (reference Main.cpp:91-106 semantics)")
+    ap.add_argument("--viz-dir", type=str, default=None,
+                    help="write per-keyframe debug PNGs here")
     args = ap.parse_args()
 
     from hslam_tpu.config import Config
@@ -138,7 +143,9 @@ def main():
 
         n = len(rd) if not args.max_frames else min(len(rd), args.max_frames)
         t0 = time.time()
-        for i in range(n):
+        n_skipped = 0
+        i = 0
+        while i < n:
             if use_native:
                 # photometric correction already applied natively
                 img = jnp.asarray(nl.get(i))
@@ -149,12 +156,33 @@ def main():
                 ts, exp = fd.timestamp, fd.exposure
             img = remap_image(img, remap)
             sys_.process_frame(np.asarray(img), ts, exp)
+            if args.viz_dir and sys_.shells and sys_.shells[-1].is_kf:
+                os.makedirs(args.viz_dir, exist_ok=True)
+                from hslam_tpu.viz.debug_draw import save_debug_frame
+                save_debug_frame(
+                    os.path.join(args.viz_dir, f"kf_{sys_.next_kf_id:04d}.png"),
+                    sys_, np.asarray(img),
+                )
             if sys_.is_lost:
                 print(f"LOST at frame {i}")
                 break
+            i += 1
+            if args.realtime and i < n:
+                # skip frames whose timestamp has already passed
+                # (Main.cpp:91-106: frame-skip when behind)
+                wall = time.time() - t0
+                while i < n - 1 and rd.timestamps[i] - rd.timestamps[0] < wall:
+                    i += 1
+                    n_skipped += 1
+                # wait if ahead of schedule
+                ahead = (rd.timestamps[i] - rd.timestamps[0]) - wall
+                if ahead > 0:
+                    time.sleep(min(ahead, 1.0))
+        dt_skip = f", skipped {n_skipped}" if args.realtime else ""
         dt = time.time() - t0
-        print(f"{n} frames in {dt:.1f}s ({n/dt:.1f} fps), "
-              f"{sys_.next_kf_id} KFs")
+        n_proc = len(sys_.shells)
+        print(f"{n_proc} frames in {dt:.1f}s ({n_proc/dt:.1f} fps), "
+              f"{sys_.next_kf_id} KFs{dt_skip}")
         write_tum(args.out, [s.timestamp for s in sys_.shells],
                   [(s.cam_to_world[:3, :3], s.cam_to_world[:3, 3])
                    for s in sys_.shells])
