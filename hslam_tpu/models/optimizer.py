@@ -191,8 +191,12 @@ def ba_optimize(
     slot_mask = _slot_mask(frames)
     lam = jnp.float32(cfg.fix_lambda)
 
-    def gn_iter(i, carry):
-        frames, calib, points, res_state, done = carry
+    def gn_cond(carry):
+        i, frames, calib, points, res_state, done = carry
+        return (i < n_iterations) & ~done
+
+    def gn_iter(carry):
+        i, frames, calib, points, res_state, done = carry
         AH, AT = ba.compute_adjoints(frames)
         lin = ba.linearize(frames, points, calib, cfg)
         # sticky OOB (applyRes semantics, OptimizationClasses.cpp:235-256)
@@ -234,11 +238,14 @@ def ba_optimize(
             & (jnp.sqrt(sumT) * sumNID < 0.00005 * th)
         )
         done = done | (canbreak & (i + 1 >= cfg.min_opt_iterations))
-        return frames, calib, points, new_rs, done
+        return i + 1, frames, calib, points, new_rs, done
 
-    frames, calib, points, res_state, _ = jax.lax.fori_loop(
-        0, n_iterations, gn_iter,
-        (frames, calib, points, res_state, jnp.bool_(False)),
+    # while_loop with convergence exit: each GN iteration is a full
+    # linearize+accumulate+solve; steady-state windows converge in 2-3
+    # iterations so real early exit halves the per-keyframe BA time
+    _, frames, calib, points, res_state, _ = jax.lax.while_loop(
+        gn_cond, gn_iter,
+        (jnp.int32(0), frames, calib, points, res_state, jnp.bool_(False)),
     )
 
     # re-fix newest frame's linearization point at its current pose

@@ -446,7 +446,20 @@ class SLAMSystem:
                 break
 
         if not have_good:
-            # BIG ERROR path (System.cpp:483-489): take predicted pose
+            # first try BoW+PnP relocalization against the reference KF's
+            # template (capability beyond the reference, whose only recovery
+            # is "take predicted pose and hope", System.cpp:483-489)
+            reloc = self._attempt_relocalization(shell, pyr)
+            if reloc is not None:
+                shell.cam_to_world = reloc
+                shell.tracking_ref = self.ref_shell_id
+                shell.cam_to_ref = (
+                    np.linalg.inv(self.shells[self.ref_shell_id].cam_to_world)
+                    @ shell.cam_to_world
+                )
+                shell.aff = aff_init
+                self._last_flow = np.zeros(3)
+                return True
             shell.pose_valid = False
             T = tries[0]
             shell.cam_to_ref = np.linalg.inv(T)
@@ -471,6 +484,74 @@ class SLAMSystem:
         shell.aff = np.asarray(best.aff)
         self._last_flow = np.asarray(best.flow)
         return np.all(np.isfinite(np.asarray(best.t)))
+
+    def _attempt_relocalization(self, shell: Shell, pyr):
+        """KLT-free pose recovery: match FAST+rBRIEF descriptors of the
+        current frame against the reference keyframe, lift the KF keypoints
+        to 3D via the tracker template's inverse depths, and solve PnP
+        RANSAC. Returns cam_to_world (4, 4) or None."""
+        if self.template is None or self.ref_slot < 0:
+            return None
+        from ..ops import orb as orb_ops
+        from ..ops import pnp as pnp_ops
+        from ..ops.pyramid import gaussian_blur7
+
+        ref_img = np.asarray(self.window.frames.images[self.ref_slot][..., 0])
+        cur_img = pyr[0][..., 0]
+
+        def feats(img):
+            score = orb_ops.fast_score(img, float(self.cfg.min_th_fast))
+            u, v, valid = orb_ops.grid_nms(score, 8, 512)
+            ang = orb_ops.ic_angle(img, u, v)
+            return u, v, valid, orb_ops.rbrief(gaussian_blur7(img), u, v, ang)
+
+        ku, kv, kval, kdesc = feats(jnp.asarray(ref_img))
+        cu, cv, cval, cdesc = feats(cur_img)
+        idx, ok = orb_ops.match_descriptors(kdesc, cdesc,
+                                            valid_a=kval, valid_b=cval)
+        if int(np.asarray(ok).sum()) < 20:
+            return None
+
+        # lift ref keypoints to 3D via nearest template point (<= 3 px)
+        tu = np.asarray(self.template.u[0])
+        tv = np.asarray(self.template.v[0])
+        tid = np.asarray(self.template.idepth[0])
+        tval = np.asarray(self.template.valid[0])
+        ku_np, kv_np = np.asarray(ku), np.asarray(kv)
+        d2 = (ku_np[:, None] - tu[None, :]) ** 2 + (kv_np[:, None] - tv[None, :]) ** 2
+        d2[:, ~tval] = 1e12
+        nn = np.argmin(d2, axis=1)
+        has_depth = d2[np.arange(len(ku_np)), nn] <= 9.0
+        idepth = tid[nn]
+
+        fx, fy = float(self.calib.value[0]), float(self.calib.value[1])
+        cx, cy = float(self.calib.value[2]), float(self.calib.value[3])
+        z = 1.0 / np.maximum(idepth, 1e-6)
+        X_cam = np.stack(
+            [(ku_np - cx) / fx * z, (kv_np - cy) / fy * z, z], -1
+        )
+        # to world via the ref KF pose
+        T_ref = self.shells[self.ref_shell_id].cam_to_world
+        X_w = X_cam @ T_ref[:3, :3].T + T_ref[:3, 3]
+
+        cu_np, cv_np = np.asarray(cu), np.asarray(cv)
+        obs = np.stack([cu_np[np.asarray(idx)], cv_np[np.asarray(idx)]], -1)
+        valid = np.asarray(ok) & has_depth
+        if valid.sum() < 15:
+            return None
+
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]], np.float32)
+        res = pnp_ops.solve_pnp(
+            jnp.asarray(X_w, jnp.float32), jnp.asarray(obs, jnp.float32),
+            jnp.asarray(valid), jnp.asarray(K),
+            jax.random.PRNGKey(shell.id),
+        )
+        if not bool(res.ok):
+            return None
+        Twc = np.eye(4)
+        Twc[:3, :3] = np.asarray(res.R)
+        Twc[:3, 3] = np.asarray(res.t)
+        return np.linalg.inv(Twc)
 
     def _need_keyframe(self, shell: Shell) -> bool:
         cfg = self.cfg
@@ -967,6 +1048,16 @@ class SLAMSystem:
         )
         col, wgt, gH, finite = self._sample_pattern(pyr[0], u, v)
         cand = sel_valid & finite
+
+        # density adaptation of the selection block size across keyframes
+        # (the reference re-runs selection recursively within one frame,
+        # PixelSelector.cpp:118-267; the same sqrt rule applied across
+        # frames converges to the target density without re-runs)
+        if not cfg.use_fast:
+            have = max(int(np.asarray(sel_valid).sum()), 1)
+            want = cfg.desired_immature_density
+            ideal = self.selector_pot * np.sqrt(have / want)
+            self.selector_pot = int(np.clip(round(ideal), 2, 12))
 
         imm = self.imm
         slots, write = assign_free_slots(~imm.valid, cand)

@@ -87,3 +87,26 @@ def test_end_to_end_synthetic():
     err = ate_rmse(np.array(gtp), np.array(est))
     assert np.isfinite(err)
     assert err < 0.15, f"ATE too high: {err}"
+
+
+def test_fast_detector_path():
+    """cfg.use_fast selects FAST+NMS keypoints as the candidate source."""
+    import jax.numpy as jnp
+    from hslam_tpu.models.system import SLAMSystem
+
+    cfg = Config(
+        max_frames=4, max_points=128, max_immature=128, max_features=128,
+        pyr_levels=3, use_fast=True,
+    )
+    slam = SLAMSystem(FX, FY, CX, CY, W, H, cfg)
+    I0 = make_texture()
+    pyr, grads = slam._prep(jnp.asarray(I0))
+    u, v, ptype, valid = slam._select_px(5, pyr[0], grads, 100, 0)
+    n = int(valid.sum())
+    assert n > 20, f"FAST path found only {n} keypoints"
+    # all keypoints inside the image
+    import numpy as np
+    uu = np.asarray(u[valid])
+    vv = np.asarray(v[valid])
+    assert (uu >= 0).all() and (uu < W).all()
+    assert (vv >= 0).all() and (vv < H).all()
