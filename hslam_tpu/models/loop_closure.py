@@ -10,10 +10,11 @@ follows the H-SLAM/ORB-SLAM pattern the reference descends from:
   2. a new keyframe queries the database (batched L1 scoring); candidates
      must beat a fraction of the best covisible score and be temporally
      non-adjacent;
-  3. candidates are verified by descriptor matching (ops/orb.py) + RANSAC
-     two-view geometry (ops/twoview.py); a verified loop yields a relative
-     Sim3 (scale from the depth ratio of matched map points when
-     available, else 1);
+  3. candidates are verified by descriptor matching (ops/orb.py); the
+     metric loop edge comes from PnP RANSAC (ops/pnp.py) on the
+     candidate's stored keypoint depths observed in the query frame — a
+     two-view pose is scale-free and degenerate for the near-zero-baseline
+     revisits loops are made of;
   4. the keyframe pose graph is relaxed with the loop edge plus sequential
      odometry edges (models/pose_graph.py), and the correction is handed
      back to the host to re-anchor shells / the active window.
@@ -44,6 +45,8 @@ class KeyframeEntry:
     kp_v: np.ndarray
     valid: np.ndarray           # (M,)
     cam_to_world: np.ndarray    # (4, 4) — updated after corrections
+    kp_idepth: np.ndarray | None = None   # (M,) inverse depths (loop edges)
+    kp_depth_ok: np.ndarray | None = None
 
 
 @dataclasses.dataclass
@@ -72,7 +75,8 @@ class LoopCloser:
 
     def add_keyframe(self, kf_id: int, shell_id: int,
                      desc: jnp.ndarray, kp_u, kp_v, valid,
-                     cam_to_world: np.ndarray):
+                     cam_to_world: np.ndarray,
+                     kp_idepth=None, kp_depth_ok=None):
         words = self._quantize(desc, valid)
         vec = bow_ops.bow_vector(words, self.vocab.n_words)
         self.entries.append(KeyframeEntry(
@@ -81,6 +85,8 @@ class LoopCloser:
             kp_u=np.asarray(kp_u), kp_v=np.asarray(kp_v),
             valid=np.asarray(valid),
             cam_to_world=cam_to_world.copy(),
+            kp_idepth=None if kp_idepth is None else np.asarray(kp_idepth),
+            kp_depth_ok=None if kp_depth_ok is None else np.asarray(kp_depth_ok),
         ))
 
     def detect(self, query_idx: int, K: np.ndarray) -> Optional[LoopResult]:
@@ -113,24 +119,48 @@ class LoopCloser:
             return None
         cand = self.entries[cands[best]]
 
-        # geometric verification: descriptor match + RANSAC
-        idx_b, ok = orb_ops.match_descriptors(
-            jnp.asarray(q.desc), jnp.asarray(cand.desc),
-            valid_a=jnp.asarray(q.valid), valid_b=jnp.asarray(cand.valid),
+        # geometric verification: descriptor match (candidate -> query)
+        idx_q, ok = orb_ops.match_descriptors(
+            jnp.asarray(cand.desc), jnp.asarray(q.desc),
+            valid_a=jnp.asarray(cand.valid), valid_b=jnp.asarray(q.valid),
         )
         ok_np = np.asarray(ok)
         if ok_np.sum() < self.min_inliers:
             return None
-        p1 = jnp.stack([jnp.asarray(q.kp_u), jnp.asarray(q.kp_v)], -1)
-        p2_all = jnp.stack([jnp.asarray(cand.kp_u), jnp.asarray(cand.kp_v)], -1)
-        p2 = p2_all[idx_b]
-        res = tv_ops.two_view_reconstruct(
-            p1, p2, jnp.asarray(ok_np), jnp.asarray(K),
-            jax.random.PRNGKey(q.kf_id), n_iters=200,
-        )
-        n_inl = int(np.asarray(res.tri_ok).sum())
-        if not bool(res.ok) or n_inl < self.min_inliers:
+
+        # metric relative pose via PnP: lift the candidate's keypoints to 3D
+        # with its stored inverse depths, observe them in the query frame.
+        # (a two-view 8-point pose is scale-free and useless for the
+        # near-zero-baseline revisits loops are made of)
+        if cand.kp_idepth is None:
             return None
+        from ..ops import pnp as pnp_ops
+
+        fx, fy = K[0, 0], K[1, 1]
+        cx, cy = K[0, 2], K[1, 2]
+        z = 1.0 / np.maximum(cand.kp_idepth, 1e-6)
+        X_cand = np.stack(
+            [(cand.kp_u - cx) / fx * z, (cand.kp_v - cy) / fy * z, z], -1)
+        obs = np.stack([q.kp_u[np.asarray(idx_q)],
+                        q.kp_v[np.asarray(idx_q)]], -1)
+        valid = ok_np & (cand.kp_depth_ok if cand.kp_depth_ok is not None
+                         else np.ones_like(ok_np))
+        if valid.sum() < self.min_inliers:
+            return None
+        # the current (drifted) estimate of the relative pose seeds the
+        # solver — the 6-point DLT alone is degenerate on coplanar scenes
+        T_init = np.linalg.inv(q.cam_to_world) @ cand.cam_to_world
+        res = pnp_ops.solve_pnp(
+            jnp.asarray(X_cand, jnp.float32), jnp.asarray(obs, jnp.float32),
+            jnp.asarray(valid), jnp.asarray(K, jnp.float32),
+            jax.random.PRNGKey(q.kf_id), min_inliers=self.min_inliers,
+            init_R=jnp.asarray(T_init[:3, :3], jnp.float32),
+            init_t=jnp.asarray(T_init[:3, 3], jnp.float32),
+        )
+        if not bool(res.ok):
+            return None
+        n_inl = int(np.asarray(res.inliers).sum())
+        # PnP gives T (cand-cam -> query-cam) == S_query * S_match^-1
         return LoopResult(
             query_kf=q.kf_id, match_kf=cand.kf_id,
             rel_R=np.asarray(res.R), rel_t=np.asarray(res.t),

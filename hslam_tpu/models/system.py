@@ -93,6 +93,7 @@ class SLAMSystem:
         self.enable_loop_closure = enable_loop_closure
         self.loop_closer = None          # built lazily once a vocab exists
         self._vocab_descs: list = []     # descriptor pool for training
+        self._pending_entries: list = []  # KF entries awaiting the vocab
         self.n_loops_closed = 0
         self.window = W.empty_window(cfg, height, width)
         self.imm = Immatures(cfg)
@@ -485,6 +486,22 @@ class SLAMSystem:
         self._last_flow = np.asarray(best.flow)
         return np.all(np.isfinite(np.asarray(best.t)))
 
+    def _lift_keypoint_depths(self, u, v, radius_px: float = 3.0):
+        """Nearest-template-point inverse depth for keypoints (host side)."""
+        if self.template is None:
+            n = np.asarray(u).shape[0]
+            return np.zeros(n, np.float32), np.zeros(n, bool)
+        tu = np.asarray(self.template.u[0])
+        tv = np.asarray(self.template.v[0])
+        tid = np.asarray(self.template.idepth[0])
+        tval = np.asarray(self.template.valid[0])
+        un, vn = np.asarray(u), np.asarray(v)
+        d2 = (un[:, None] - tu[None, :]) ** 2 + (vn[:, None] - tv[None, :]) ** 2
+        d2[:, ~tval] = 1e12
+        nn = np.argmin(d2, axis=1)
+        ok = d2[np.arange(len(un)), nn] <= radius_px * radius_px
+        return tid[nn].astype(np.float32), ok
+
     def _attempt_relocalization(self, shell: Shell, pyr):
         """KLT-free pose recovery: match FAST+rBRIEF descriptors of the
         current frame against the reference keyframe, lift the KF keypoints
@@ -541,10 +558,15 @@ class SLAMSystem:
             return None
 
         K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]], np.float32)
+        # seed with the last tracked pose prediction (zero motion from the
+        # reference) — the DLT samples alone degenerate on planar scenes
+        T_pred = np.linalg.inv(T_ref)
         res = pnp_ops.solve_pnp(
             jnp.asarray(X_w, jnp.float32), jnp.asarray(obs, jnp.float32),
             jnp.asarray(valid), jnp.asarray(K),
             jax.random.PRNGKey(shell.id),
+            init_R=jnp.asarray(T_pred[:3, :3], jnp.float32),
+            init_t=jnp.asarray(T_pred[:3, 3], jnp.float32),
         )
         if not bool(res.ok):
             return None
@@ -739,16 +761,32 @@ class SLAMSystem:
         ang = orb_ops.ic_angle(img, u, v)
         desc = orb_ops.rbrief(gaussian_blur7(img), u, v, ang)
 
+        # lift keypoints to inverse depths via the (just rebuilt) tracker
+        # template of this keyframe — feeds the PnP loop-edge estimation
+        kp_idepth, kp_depth_ok = self._lift_keypoint_depths(u, v)
+        entry = (shell.kf_id, shell.id, desc, u, v, valid,
+                 shell.cam_to_world.copy(), kp_idepth, kp_depth_ok)
+
         if self.loop_closer is None:
             self._vocab_descs.append(np.asarray(desc)[np.asarray(valid)])
+            self._pending_entries.append(entry)
             if len(self._vocab_descs) >= 8:
                 pool = np.concatenate(self._vocab_descs)
                 voc = bow_ops.train_vocabulary(pool, k=8, levels=3, iters=4)
-                self.loop_closer = LoopCloser(voc)
+                self.loop_closer = LoopCloser(voc, min_gap=10)
+                # backfill the keyframes that fed the vocabulary — without
+                # them the revisit has nothing to match against
+                for e in self._pending_entries:
+                    self.loop_closer.add_keyframe(
+                        e[0], e[1], e[2], e[3], e[4], e[5], e[6],
+                        kp_idepth=e[7], kp_depth_ok=e[8],
+                    )
+                self._pending_entries = []
             return
 
         self.loop_closer.add_keyframe(
-            shell.kf_id, shell.id, desc, u, v, valid, shell.cam_to_world
+            shell.kf_id, shell.id, desc, u, v, valid, shell.cam_to_world,
+            kp_idepth=kp_idepth, kp_depth_ok=kp_depth_ok,
         )
         K = np.array(
             [[float(self.calib.value[0]), 0, float(self.calib.value[2])],

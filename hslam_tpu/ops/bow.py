@@ -60,19 +60,36 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 3,
     max_nodes = k ** levels
     cents = np.zeros((levels, max_nodes, 8), np.uint32)
 
+    def hdist(a, b):
+        """(N, 8) x (M, 8) -> (N, M) hamming distances."""
+        x = a[:, None, :] ^ b[None, :, :]
+        return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
     def kmedians(data, kk):
         if len(data) == 0:
             return np.zeros((kk, 8), np.uint32), np.zeros(0, np.int64)
-        init = data[rng.choice(len(data), size=min(kk, len(data)), replace=False)]
+        # farthest-point initialization: real descriptor sets are heavily
+        # correlated; random init + majority vote collapses every centroid
+        # onto the global median and the whole tree degenerates
         c = np.zeros((kk, 8), np.uint32)
-        c[: len(init)] = init
+        c[0] = data[rng.randint(len(data))]
+        dmin = hdist(data, c[:1])[:, 0]
+        for j in range(1, kk):
+            c[j] = data[int(dmin.argmax())]
+            dmin = np.minimum(dmin, hdist(data, c[j : j + 1])[:, 0])
         assign = np.zeros(len(data), np.int64)
         for _ in range(iters):
-            x = data[:, None, :] ^ c[None, :, :]
-            d = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+            d = hdist(data, c)
             assign = d.argmin(-1)
             for j in range(kk):
-                c[j] = _majority_centroid(data, assign == j)
+                mask = assign == j
+                if mask.sum() == 0:
+                    # reseed an empty cluster with the farthest point
+                    far = int(d[np.arange(len(data)), assign].argmax())
+                    c[j] = data[far]
+                    assign[far] = j
+                else:
+                    c[j] = _majority_centroid(data, mask)
         return c, assign
 
     # recursive split, materialized level-major
@@ -81,13 +98,11 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 3,
         new_groups = {}
         for path, idx in groups.items():
             node_base = 0
-            for d_, p in enumerate(path):
-                node_base = node_base * k + p
+            for p_ in path:
+                node_base = node_base * k + p_
             c, assign = kmedians(descriptors[idx], k)
-            # write centroids of this node's children
-            stride = k ** (levels - 1 - lvl)
             for j in range(k):
-                cents[lvl, (node_base * k + j) * stride // max(stride, 1) * max(stride, 1) // max(stride,1) if False else (node_base * k + j), :] = c[j]
+                cents[lvl, node_base * k + j, :] = c[j]
                 new_groups[path + (j,)] = idx[assign == j]
         groups = new_groups
 

@@ -68,7 +68,13 @@ def solve_pnp(
     n_iters: int = 64,
     inlier_px: float = 3.0,
     min_inliers: int = 12,
+    init_R: jnp.ndarray | None = None,
+    init_t: jnp.ndarray | None = None,
 ) -> PnPResult:
+    """init_R/init_t: optional pose hypothesis entered into the RANSAC
+    scoring alongside the DLT minimal samples. Essential when the points
+    are (near-)coplanar — the 6-point DLT is degenerate on planes, but
+    loop closure / relocalization always have a usable prior pose."""
     N = X.shape[0]
     Kinv = jnp.linalg.inv(K)
     x_n = jnp.concatenate([x_px, jnp.ones((N, 1))], -1) @ Kinv.T
@@ -79,6 +85,9 @@ def solve_pnp(
     samples = jax.random.choice(key, N, shape=(n_iters, 6), p=probs)
 
     Rs, ts = jax.vmap(lambda idx: _dlt_pose(X[idx], x_n[idx]))(samples)
+    if init_R is not None:
+        Rs = jnp.concatenate([Rs, init_R[None]], axis=0)
+        ts = jnp.concatenate([ts, init_t[None]], axis=0)
     errs = jax.vmap(lambda R, t: _reproj_err(R, t, X, x_px, K))(Rs, ts)
     inl = (errs < inlier_px) & valid[None, :]
     counts = jnp.sum(inl, axis=-1)
@@ -86,36 +95,46 @@ def solve_pnp(
     R0, t0 = Rs[best], ts[best]
     inliers = inl[best]
 
-    # GN refinement on inliers (left-multiplied SE3 increments)
-    def gn_step(_, carry):
-        R, t = carry
-        Xc = X @ R.T + t
-        z = jnp.where(jnp.abs(Xc[:, 2]) < 1e-9, 1e-9, Xc[:, 2])
-        u = Xc[:, 0] / z
-        v = Xc[:, 1] / z
-        fx, fy = K[0, 0], K[1, 1]
-        ru = fx * u + K[0, 2] - x_px[:, 0]
-        rv = fy * v + K[1, 2] - x_px[:, 1]
-        iz = 1.0 / z
-        Ju = jnp.stack(
-            [fx * iz, jnp.zeros_like(iz), -fx * u * iz,
-             -fx * u * v, fx * (1 + u * u), -fx * v], -1)
-        Jv = jnp.stack(
-            [jnp.zeros_like(iz), fy * iz, -fy * v * iz,
-             -fy * (1 + v * v), fy * u * v, fy * u], -1)
-        w = inliers.astype(jnp.float32)[:, None]
-        J = jnp.concatenate([Ju * w, Jv * w], 0)               # (2N, 6)
-        r = jnp.concatenate([ru * w[:, 0], rv * w[:, 0]])
-        H = J.T @ J + jnp.eye(6) * 1e-4
-        dx = -jnp.linalg.solve(H, J.T @ r)
-        dR, dt = lie.se3_exp(dx)
-        return lie.se3_mul(dR, dt, R, t)
+    # GN refinement (left-multiplied SE3 increments). `basin_px` sets the
+    # robust IRLS basin: wide in round 1 so an approximate init hypothesis
+    # pulls in, hard inliers in round 2.
+    def make_gn(basin_px, hard_mask=None):
+        def gn_step(_, carry):
+            R, t = carry
+            Xc = X @ R.T + t
+            z = jnp.where(jnp.abs(Xc[:, 2]) < 1e-9, 1e-9, Xc[:, 2])
+            u = Xc[:, 0] / z
+            v = Xc[:, 1] / z
+            fx, fy = K[0, 0], K[1, 1]
+            ru = fx * u + K[0, 2] - x_px[:, 0]
+            rv = fy * v + K[1, 2] - x_px[:, 1]
+            err = jnp.sqrt(ru * ru + rv * rv)
+            hw = jnp.where(err < basin_px, 1.0,
+                           basin_px / jnp.maximum(err, 1e-9))
+            w = valid.astype(jnp.float32) * hw * (Xc[:, 2] > 0.01)
+            if hard_mask is not None:
+                w = w * hard_mask
+            iz = 1.0 / z
+            Ju = jnp.stack(
+                [fx * iz, jnp.zeros_like(iz), -fx * u * iz,
+                 -fx * u * v, fx * (1 + u * u), -fx * v], -1)
+            Jv = jnp.stack(
+                [jnp.zeros_like(iz), fy * iz, -fy * v * iz,
+                 -fy * (1 + v * v), fy * u * v, fy * u], -1)
+            wc = w[:, None]
+            J = jnp.concatenate([Ju * wc, Jv * wc], 0)           # (2N, 6)
+            r = jnp.concatenate([ru * w, rv * w])
+            H = J.T @ J + jnp.eye(6) * 1e-4
+            dx = -jnp.linalg.solve(H, J.T @ r)
+            dR, dt = lie.se3_exp(dx)
+            return lie.se3_mul(dR, dt, R, t)
 
-    # two GN rounds with inlier re-estimation between them
-    R, t = jax.lax.fori_loop(0, 5, gn_step, (R0, t0))
+        return gn_step
+
+    R, t = jax.lax.fori_loop(0, 6, make_gn(3.0 * inlier_px), (R0, t0))
     err_m = _reproj_err(R, t, X, x_px, K)
-    inliers = (err_m < inlier_px) & valid
-    R, t = jax.lax.fori_loop(0, 5, gn_step, (R, t))
+    hard = ((err_m < inlier_px) & valid).astype(jnp.float32)
+    R, t = jax.lax.fori_loop(0, 5, make_gn(inlier_px, hard), (R, t))
     err_f = _reproj_err(R, t, X, x_px, K)
     inliers = (err_f < inlier_px) & valid
     ok = jnp.sum(inliers) >= min_inliers

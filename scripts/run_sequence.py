@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def synthetic_sequence(n_frames, h=240, w=320):
+def synthetic_sequence(n_frames, h=240, w=320, loop=False):
     """Textured plane + a second depth layer, smooth camera arc."""
     import jax
     import jax.numpy as jnp
@@ -35,7 +35,12 @@ def synthetic_sequence(n_frames, h=240, w=320):
         amps[i] * jnp.sin(2 * jnp.pi * (kx[i] * xs / w + ky[i] * ys / h) + ph[i])
         for i in range(8)
     )
-    I0 = I0.astype(jnp.float32)
+    # band-limited speckle: bilinear-upsampled random grid gives the scene
+    # FAST-scale corners (pure sinusoids are corner-free at 320x240)
+    grid = jax.random.uniform(jax.random.fold_in(key, 2),
+                              (h // 4 + 2, w // 4 + 2), minval=-22.0, maxval=22.0)
+    I0 = I0 + bilinear(grid, jnp.asarray(xs / 4.0), jnp.asarray(ys / 4.0))
+    I0 = jnp.clip(I0, 5.0, 250.0).astype(jnp.float32)
 
     def render(Rf, tf):
         px = (xs - cx) / fx
@@ -53,10 +58,18 @@ def synthetic_sequence(n_frames, h=240, w=320):
     poses = []
     for i in range(n_frames):
         t = i / 30.0
-        xi = jnp.array(
-            [0.25 * np.sin(0.5 * t), 0.12 * (1 - np.cos(0.5 * t)), 0.06 * t,
-             0.02 * np.sin(0.4 * t), 0.03 * t, 0.01 * np.sin(0.3 * t)]
-        )
+        if loop:
+            # closed circuit: returns to the start pose at the last frame
+            a = 2 * np.pi * i / max(n_frames - 1, 1)
+            xi = jnp.array(
+                [0.35 * np.sin(a), 0.15 * (1 - np.cos(a)), 0.0,
+                 0.01 * np.sin(a), 0.015 * np.sin(a), 0.0]
+            )
+        else:
+            xi = jnp.array(
+                [0.25 * np.sin(0.5 * t), 0.12 * (1 - np.cos(0.5 * t)), 0.06 * t,
+                 0.02 * np.sin(0.4 * t), 0.03 * t, 0.01 * np.sin(0.3 * t)]
+            )
         R, tt = lie.se3_exp(xi)   # worldToCam
         frames.append(render(R, tt))
         poses.append((np.asarray(R), np.asarray(tt)))
@@ -74,6 +87,10 @@ def main():
                          "when behind (reference Main.cpp:91-106 semantics)")
     ap.add_argument("--viz-dir", type=str, default=None,
                     help="write per-keyframe debug PNGs here")
+    ap.add_argument("--loop-closure", action="store_true",
+                    help="enable BoW loop closure + pose-graph correction")
+    ap.add_argument("--loop-trajectory", action="store_true",
+                    help="synthetic: fly a closed loop that revisits the start")
     args = ap.parse_args()
 
     from hslam_tpu.config import Config
@@ -81,10 +98,12 @@ def main():
     from hslam_tpu.io.trajectory import write_tum, ate_rmse
 
     if args.synthetic:
-        frames, gt_poses, (fx, fy, cx, cy, w, h) = synthetic_sequence(args.synthetic)
+        frames, gt_poses, (fx, fy, cx, cy, w, h) = synthetic_sequence(
+            args.synthetic, loop=args.loop_trajectory)
         cfg = Config(max_frames=8, max_points=2048, max_immature=2048,
                      max_features=2048, pyr_levels=4)
-        sys_ = SLAMSystem(fx, fy, cx, cy, w, h, cfg)
+        sys_ = SLAMSystem(fx, fy, cx, cy, w, h, cfg,
+                          enable_loop_closure=args.loop_closure)
         t0 = time.time()
         for i, img in enumerate(frames):
             sys_.process_frame(img, i / 30.0)
@@ -94,7 +113,8 @@ def main():
         dt = time.time() - t0
         print(f"processed {len(frames)} frames in {dt:.1f}s "
               f"({len(frames)/dt:.1f} fps), {sys_.next_kf_id} keyframes, "
-              f"initialized={sys_.initialized}")
+              f"initialized={sys_.initialized}, "
+              f"loops_closed={sys_.n_loops_closed}")
 
         # ATE vs ground truth (sim3-aligned, KF poses only)
         est, gt = [], []

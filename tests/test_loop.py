@@ -154,3 +154,128 @@ class TestPoseGraph:
         assert gap_after < 0.3 * gap_before, (gap_before, gap_after)
         # scales pinned
         np.testing.assert_allclose(np.asarray(s_n), 1.0, atol=1e-4)
+
+
+class TestLoopCloserEndToEnd:
+    def test_detect_and_correct_drifted_loop(self):
+        """Keyframes around a loop with drifted pose estimates: the closer
+        must match the revisit against the start and pull the drifted poses
+        back toward consistency."""
+        import jax
+        import jax.numpy as jnp
+        from hslam_tpu.models.loop_closure import LoopCloser
+        from hslam_tpu.ops import bow as bow_ops
+        from hslam_tpu.ops import orb as orb_ops
+        from hslam_tpu.ops.pyramid import gaussian_blur7
+        from hslam_tpu.utils.interp import bilinear
+
+        H, W = 96, 128
+        fx = fy = 80.0
+        cx, cy = W / 2 - 0.5, H / 2 - 0.5
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        depth = 2.0
+
+        key = jax.random.PRNGKey(3)
+        ky, kx = jax.random.uniform(key, (2, 8), minval=0.5, maxval=6.5)
+        ph = jax.random.uniform(jax.random.fold_in(key, 1), (8,)) * 6.28
+        amps = jnp.array([35.0, 30.0, 22.0, 18.0, 14.0, 10.0, 8.0, 6.0])
+        ys, xs = jnp.mgrid[0:H, 0:W]
+        I0 = 120.0 + sum(
+            amps[i] * jnp.sin(2 * jnp.pi * (kx[i] * xs / W + ky[i] * ys / H) + ph[i])
+            for i in range(8)
+        )
+        I0 = I0.astype(jnp.float32)
+
+        def render(Rf, tf):
+            px = (xs - cx) / fx
+            py = (ys - cy) / fy
+            Rinv, tinv = lie.se3_inverse(Rf, tf)
+            dz = Rinv[2, 0] * px + Rinv[2, 1] * py + Rinv[2, 2]
+            s = (depth - tinv[2]) / dz
+            X = s * (Rinv[0, 0] * px + Rinv[0, 1] * py + Rinv[0, 2]) + tinv[0]
+            Y = s * (Rinv[1, 0] * px + Rinv[1, 1] * py + Rinv[1, 2]) + tinv[1]
+            return bilinear(I0, fx * X / depth + cx, fy * Y / depth + cy)
+
+        # a loop: out along +x and back; last pose == first pose (GT)
+        n_kf = 20
+        gt = []
+        for i in range(n_kf):
+            a = 2 * np.pi * i / n_kf
+            xi = jnp.array([0.35 * np.sin(a), 0.12 * (1 - np.cos(a)), 0.0,
+                            0.0, 0.0, 0.0])
+            R, t = lie.se3_exp(xi)
+            gt.append((np.asarray(R), np.asarray(t)))
+
+        # drifted estimates: small rotation/translation bias per step
+        drift_R, drift_t = lie.se3_exp(jnp.array([0.01, -0.006, 0.004,
+                                                  0.002, 0.003, -0.002]))
+        est = [np.eye(4)]
+        for i in range(1, n_kf):
+            Ti = np.eye(4)
+            Ti[:3, :3], Ti[:3, 3] = gt[i]
+            Tp = np.eye(4)
+            Tp[:3, :3], Tp[:3, 3] = gt[i - 1]
+            Trel = Ti @ np.linalg.inv(Tp)
+            Dn = np.eye(4)
+            Dn[:3, :3], Dn[:3, 3] = np.asarray(drift_R), np.asarray(drift_t)
+            est.append(Dn @ Trel @ est[-1])
+
+        # train a vocab on features from a few frames
+        descs = []
+        frames = []
+        feats = []
+        for i in range(n_kf):
+            R, t = gt[i]
+            img = render(jnp.asarray(R), jnp.asarray(t))
+            frames.append(img)
+            score = orb_ops.fast_score(img, 8.0)
+            u, v, valid = orb_ops.grid_nms(score, 8, 256)
+            ang = orb_ops.ic_angle(img, u, v)
+            d = orb_ops.rbrief(gaussian_blur7(img), u, v, ang)
+            feats.append((u, v, valid, d))
+            if i < 6:
+                descs.append(np.asarray(d)[np.asarray(valid)])
+        voc = bow_ops.train_vocabulary(np.concatenate(descs), k=6, levels=2,
+                                       iters=4)
+
+        closer = LoopCloser(voc, min_gap=10, min_inliers=20)
+        for i in range(n_kf):
+            u, v, valid, d = feats[i]
+            # analytic keypoint depths: rays hitting the plane z_world = 2
+            R, t = gt[i]
+            Rinv, tinv = R.T, -R.T @ np.asarray(t)
+            dirs = np.stack([(np.asarray(u) - cx) / fx,
+                             (np.asarray(v) - cy) / fy,
+                             np.ones_like(np.asarray(u))], -1)
+            dz = dirs @ Rinv.T[:, 2]
+            zc = (depth - tinv[2]) / np.maximum(dz, 1e-6)
+            kp_idepth = 1.0 / np.maximum(zc, 1e-3)
+            # entries store camToWorld of the DRIFTED estimate
+            closer.add_keyframe(i, i, d, u, v, valid,
+                               np.linalg.inv(est[i]),
+                               kp_idepth=kp_idepth,
+                               kp_depth_ok=np.asarray(valid))
+
+        Kj = np.asarray(K)
+        loop = closer.detect(n_kf - 1, Kj)
+        assert loop is not None, "no loop detected on revisit"
+        assert abs(loop.match_kf - (n_kf - 1)) >= 10
+
+        # gap between last and its match before/after correction
+        def gap():
+            Ta = closer.entries[n_kf - 1].cam_to_world
+            Tb = closer.entries[0].cam_to_world
+            # GT relative pose last->first
+            Tg_a = np.linalg.inv(np.block([[gt[n_kf-1][0], gt[n_kf-1][1][:, None]], [np.zeros((1, 3)), np.ones((1, 1))]]))
+            Tg_b = np.linalg.inv(np.block([[gt[0][0], gt[0][1][:, None]], [np.zeros((1, 3)), np.ones((1, 1))]]))
+            rel_est = np.linalg.inv(Ta) @ Tb
+            rel_gt = np.linalg.inv(Tg_a) @ Tg_b
+            err = rel_est @ np.linalg.inv(rel_gt)
+            import jax.numpy as jnp2
+            return float(np.linalg.norm(np.asarray(
+                lie.se3_log(jnp2.asarray(err[:3, :3]), jnp2.asarray(err[:3, 3])))))
+
+        g_before = gap()
+        closer.correct(loop, fix_scale=True)
+        g_after = gap()
+        assert g_after < 0.6 * g_before, (g_before, g_after)
