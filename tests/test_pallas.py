@@ -31,7 +31,8 @@ def test_full_pyramid_parity():
                                              interpret=True)
     lv_r, gr_r = build_direct_pyramid(img, 3, gamma_grad_weight=gw)
     for a, b in zip(lv_p, lv_r):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        # 0.25*(a+b+c+d) vs mean(): different summation order, f32 noise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
     for a, b in zip(gr_p, gr_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-2)
