@@ -84,7 +84,7 @@ def solve_camera_system(
     prior_diag: jnp.ndarray,
     prior_b: jnp.ndarray,
     slot_mask: jnp.ndarray,
-    ns: jnp.ndarray,
+    ns_proj: jnp.ndarray,
     lam: jnp.ndarray,
     do_orth_x: jnp.ndarray,
     cfg: Config,
@@ -111,8 +111,7 @@ def solve_camera_system(
     bs = bFinal * SVecI
     x = SVecI * jnp.linalg.solve(Hs, bs)
 
-    x_orth = ba.orthogonalize(x, ns, cfg.solver_mode_delta)
-    x = jnp.where(do_orth_x, x_orth, x)
+    x = jnp.where(do_orth_x, x - ns_proj @ x, x)
     return x
 
 
@@ -187,7 +186,9 @@ def ba_optimize(
     grid = _residual_grid_mask(frames, points)
     res_state = jnp.where(grid, W.RES_IN, W.RES_OOB).astype(jnp.int32)
 
-    ns = ba.nullspaces(frames)
+    # nullspace projector is loop-invariant (evalPTs fixed in optimize):
+    # hoist the SVD out of the GN iterations
+    ns_proj = ba.nullspace_projector(ba.nullspaces(frames), cfg.solver_mode_delta)
     slot_mask = _slot_mask(frames)
     lam = jnp.float32(cfg.fix_lambda)
 
@@ -212,7 +213,7 @@ def ba_optimize(
         do_orth = jnp.asarray(i >= cfg.orthogonalize_x_from_iter)
         x = solve_camera_system(
             sys.H, sys.b, H_sc, b_sc, wnd.HM, wnd.bM, delta,
-            prior_diag, prior_b, slot_mask, ns, lam, do_orth, cfg,
+            prior_diag, prior_b, slot_mask, ns_proj, lam, do_orth, cfg,
         )
         x = jnp.where(jnp.isfinite(x), x, 0.0)
         d_step = ba.resubstitute(sys, HdiF, x)

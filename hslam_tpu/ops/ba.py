@@ -449,15 +449,20 @@ def nullspaces(frames: W.Frames) -> jnp.ndarray:
     return ns
 
 
-def orthogonalize(vec: jnp.ndarray, N: jnp.ndarray, svd_eps: float = 1e-5):
-    """Project `vec` off the span of nullspace columns N via SVD pseudo-
-    inverse (EnergyFunctional::orthogonalize, EnergyFunctional.cpp:648-702)."""
+def nullspace_projector(N: jnp.ndarray, svd_eps: float = 1e-5) -> jnp.ndarray:
+    """(D, D) orthogonal projector onto span(N) via SVD pseudo-inverse
+    (EnergyFunctional::orthogonalize, EnergyFunctional.cpp:648-702).
+    Loop-invariant during one optimize() call — compute once, apply often
+    (small-matrix SVDs are expensive on TPU)."""
     norms = jnp.linalg.norm(N, axis=0, keepdims=True)
     Nn = N / jnp.maximum(norms, 1e-12)
     U_, S, Vt = jnp.linalg.svd(Nn, full_matrices=False)
     S_max = jnp.max(S)
     S_inv = jnp.where(S > svd_eps * S_max, 1.0 / jnp.maximum(S, 1e-20), 0.0)
-    # N pseudo-inverse projector: NNpiT = U diag(S) V^T pinv -> U U^T on span
     proj = U_ @ ((S_inv * S)[:, None] * U_.T)
-    proj = 0.5 * (proj + proj.T)
-    return vec - proj @ vec
+    return 0.5 * (proj + proj.T)
+
+
+def orthogonalize(vec: jnp.ndarray, N: jnp.ndarray, svd_eps: float = 1e-5):
+    """Project `vec` off the span of nullspace columns N."""
+    return vec - nullspace_projector(N, svd_eps) @ vec

@@ -71,10 +71,11 @@ def sharded_ba_step(mesh: Mesh, wnd: W.Window, calib: Calib, cfg: Config):
 
         delta = _stitched_delta(frames, calib_)
         prior_diag, prior_b = _prior_vectors(frames, calib_, cfg)
-        ns = ba.nullspaces(frames)
+        ns_proj = ba.nullspace_projector(ba.nullspaces(frames),
+                                         cfg.solver_mode_delta)
         x = solve_camera_system(
             H, b, H_sc, b_sc, HM, bM, delta, prior_diag, prior_b,
-            _slot_mask(frames), ns, jnp.float32(cfg.fix_lambda),
+            _slot_mask(frames), ns_proj, jnp.float32(cfg.fix_lambda),
             jnp.bool_(False), cfg,
         )
         d_step = ba.resubstitute(sys, HdiF, x)

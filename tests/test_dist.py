@@ -31,10 +31,11 @@ def test_sharded_step_matches_single_device():
     H_sc, b_sc, HdiF = ba.schur_complement(sys, wnd.points.prior, pt_active)
     delta = _stitched_delta(wnd.frames, calib)
     prior_diag, prior_b = _prior_vectors(wnd.frames, calib, cfg)
-    ns = ba.nullspaces(wnd.frames)
+    ns_proj = ba.nullspace_projector(ba.nullspaces(wnd.frames),
+                                     cfg.solver_mode_delta)
     x = solve_camera_system(
         sys.H, sys.b, H_sc, b_sc, wnd.HM, wnd.bM, delta, prior_diag,
-        prior_b, _slot_mask(wnd.frames), ns, jnp.float32(cfg.fix_lambda),
+        prior_b, _slot_mask(wnd.frames), ns_proj, jnp.float32(cfg.fix_lambda),
         jnp.bool_(False), cfg,
     )
     F = cfg.max_frames
