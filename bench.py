@@ -5,13 +5,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Workload (reference envelope, BASELINE.md): 640x480 mono, 6-level tracker
 pyramid, 2048 active points, 8-frame window, 6 GN iterations per KF,
 2048-candidate epipolar trace per frame. Steady-state per-frame cost =
-track + trace + (BA + template rebuild) amortized at 1 KF per 5 frames —
-the reference's typical KF rate. Baseline: 2x real-time at 20 fps input
-(north star: > 2x real-time on one v5e) => vs_baseline = fps / 40.
+prep + track + trace + (BA + template rebuild) amortized at 1 KF per 5
+frames — the reference's typical KF rate. Baseline: 2x real-time at 20 fps
+input (north star: > 2x real-time on one v5e) => vs_baseline = fps / 40.
+
+Timing methodology: every component is measured as N data-dependent
+iterations chained inside ONE jitted lax.fori_loop with a forced scalar
+read, differencing two loop lengths (utils/devtime.py). Anything else
+(enqueue-N-then-block) is unreliable through the development TPU tunnel:
+dispatch round-trip is ~20ms, block_until_ready does not block, and
+repeated identical executions are deduplicated.
 """
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -28,6 +34,7 @@ def main():
     from hslam_tpu.ops import tracker as trk
     from hslam_tpu.ops.pyramid import build_direct_pyramid, image_gradients
     from hslam_tpu.utils import lie
+    from hslam_tpu.utils.devtime import device_time
     from hslam_tpu.utils.interp import bilinear
 
     Hh, Ww = 480, 640
@@ -54,25 +61,37 @@ def main():
     Yw = s * (Rinv[1, 0] * px + Rinv[1, 1] * py + Rinv[1, 2]) + tinv[1]
     I1 = bilinear(I0, fx * Xw / depth + cx, fy * Yw / depth + cy)
 
-    # --- jitted pipeline pieces
-    prep = jax.jit(lambda img: build_direct_pyramid(img, cfg.pyr_levels))
-    pyr0, grads0 = prep(I0)
-    pyr1, _ = prep(I1)
+    pyr0, _ = jax.jit(lambda im: build_direct_pyramid(im, cfg.pyr_levels))(I0)
 
     P = cfg.max_points
     u = jax.random.uniform(key, (P,), minval=8.0, maxval=Ww - 8.0)
     v = jax.random.uniform(jax.random.fold_in(key, 1), (P,), minval=8.0, maxval=Hh - 8.0)
-    build_template = jax.jit(trk.build_template)
-    tmpl = build_template(u, v, jnp.full(P, 0.5), jnp.ones(P),
-                          jnp.ones(P, bool), pyr0)
+    tmpl = jax.jit(trk.build_template)(
+        u, v, jnp.full(P, 0.5), jnp.ones(P), jnp.ones(P, bool), pyr0)
     K_pyr = jnp.stack([level_intrinsics(calib, l) for l in range(cfg.pyr_levels)])
-    track = jax.jit(lambda t, p: trk.track_coarse(
-        t, p, K_pyr, jnp.eye(3), jnp.zeros(3), jnp.zeros(2),
-        jnp.float32(1.0), jnp.float32(1.0), jnp.zeros(2), cfg))
-
-    # trace
-    trace_state = epi.init_trace_state(cfg.max_immature)
     pat = jnp.asarray(PATTERN, jnp.float32)
+
+    # --- prep (pyramid + gradients)
+    def prep_body(img):
+        pyr, grads = build_direct_pyramid(img, cfg.pyr_levels)
+        sc = pyr[-1][0, 0, 0] + grads[0][5, 5]
+        return img + sc * 1e-30, sc
+
+    t_prep = device_time(prep_body, I1, 3, 13)
+
+    # --- prep + track (the tracker needs the fresh pyramid)
+    def track_body(img):
+        pyr, _ = build_direct_pyramid(img, cfg.pyr_levels)
+        r = trk.track_coarse(
+            tmpl, pyr, K_pyr, jnp.eye(3), jnp.zeros(3), jnp.zeros(2),
+            jnp.float32(1.0), jnp.float32(1.0), jnp.zeros(2), cfg)
+        sc = r.t[0] + r.residuals[0]
+        return img + sc * 1e-30, sc
+
+    t_track = max(device_time(track_body, I1, 3, 13) - t_prep, 0.0)
+
+    # --- epipolar trace of all immature candidates
+    trace_state = epi.init_trace_state(cfg.max_immature)
     ui = jax.random.uniform(jax.random.fold_in(key, 2), (cfg.max_immature,),
                             minval=8.0, maxval=Ww - 8.0)
     vi = jax.random.uniform(jax.random.fold_in(key, 3), (cfg.max_immature,),
@@ -84,11 +103,27 @@ def main():
     affs = jnp.broadcast_to(jnp.array([1.0, 0.0]), (cfg.max_immature, 2))
     gradH = jnp.broadcast_to(jnp.eye(2) * 100.0, (cfg.max_immature, 2, 2))
     eth = jnp.full(cfg.max_immature, 8 * 144.0)
-    trace = jax.jit(lambda ts, img: epi.trace_on(
-        ts, ui, vi, colors, jnp.ones((cfg.max_immature, 8)), gradH, eth,
-        jnp.ones(cfg.max_immature, bool), KRKi, Kt, affs, img, cfg))
+    pyr1_l0, _ = jax.jit(lambda im: build_direct_pyramid(im, 1))(I1)
 
-    # BA window
+    def trace_body(img):
+        ts2 = epi.trace_on(
+            trace_state, ui, vi, colors, jnp.ones((cfg.max_immature, 8)),
+            gradH, eth, jnp.ones(cfg.max_immature, bool), KRKi, Kt, affs, img, cfg)
+        sc = ts2.idepth_min[0] + ts2.idepth_max[1]
+        return img + sc * 1e-30, sc
+
+    t_trace = device_time(trace_body, pyr1_l0[0], 3, 13)
+
+    # --- tracker template rebuild (per KF)
+    def tmpl_body(uu):
+        tm = trk.build_template(uu, v, jnp.full(P, 0.5), jnp.ones(P),
+                                jnp.ones(P, bool), pyr0)
+        sc = tm.idepth[0][0] + tm.u[1][3]
+        return uu + sc * 1e-30, sc
+
+    t_tmpl = device_time(tmpl_body, u, 3, 13)
+
+    # --- windowed BA, 6 GN iterations (per KF)
     wnd = W.empty_window(cfg, Hh, Ww)
     F = cfg.max_frames
     xi_all = jax.random.normal(jax.random.fold_in(key, 5), (F, 6)) * jnp.array(
@@ -108,27 +143,14 @@ def main():
         color=bilinear(I0, u[:, None] + pat[None, :, 0], v[:, None] + pat[None, :, 1]),
         weight=jnp.ones((P, 8)))
     wnd = W.Window(frames=frames, points=points, HM=wnd.HM, bM=wnd.bM)
-    ba = jax.jit(lambda w, c: ba_optimize(w, c, cfg, 6))
 
-    # --- warmup (compile)
-    r = track(tmpl, pyr1); jax.block_until_ready(r.t)
-    ts2 = trace(trace_state, pyr1[0]); jax.block_until_ready(ts2.idepth_min)
-    out = ba(wnd, calib); jax.block_until_ready(out.rmse)
-    p_out = prep(I1); jax.block_until_ready(p_out[0][0])
+    def ba_body(w):
+        out = ba_optimize(w, calib, cfg, 6)
+        sc = out.rmse
+        w2 = w._replace(frames=w.frames._replace(state=w.frames.state + sc * 1e-30))
+        return w2, sc
 
-    def timeit(fn, n=10):
-        t0 = time.time()
-        for _ in range(n):
-            res = fn()
-        jax.block_until_ready(jax.tree.leaves(res)[0])
-        return (time.time() - t0) / n
-
-    t_prep = timeit(lambda: prep(I1))
-    t_track = timeit(lambda: track(tmpl, pyr1))
-    t_trace = timeit(lambda: trace(trace_state, pyr1[0]))
-    t_ba = timeit(lambda: ba(wnd, calib), n=5)
-    t_tmpl = timeit(lambda: build_template(
-        u, v, jnp.full(P, 0.5), jnp.ones(P), jnp.ones(P, bool), pyr0))
+    t_ba = device_time(ba_body, wnd, 2, 7)
 
     per_frame = t_prep + t_track + t_trace
     per_kf = t_ba + t_tmpl
@@ -137,9 +159,9 @@ def main():
     fps = 1.0 / steady
 
     sys.stderr.write(
-        f"prep {t_prep*1e3:.1f}ms track {t_track*1e3:.1f}ms "
-        f"trace {t_trace*1e3:.1f}ms ba {t_ba*1e3:.1f}ms tmpl {t_tmpl*1e3:.1f}ms "
-        f"-> steady {steady*1e3:.1f}ms/frame\n"
+        f"prep {t_prep*1e3:.2f}ms track {t_track*1e3:.2f}ms "
+        f"trace {t_trace*1e3:.2f}ms ba {t_ba*1e3:.2f}ms tmpl {t_tmpl*1e3:.2f}ms "
+        f"-> steady {steady*1e3:.2f}ms/frame\n"
     )
     print(json.dumps({
         "metric": "steady_state_pipeline_fps_640x480",

@@ -189,6 +189,10 @@ def ba_optimize(
     # nullspace projector is loop-invariant (evalPTs fixed in optimize):
     # hoist the SVD out of the GN iterations
     ns_proj = ba.nullspace_projector(ba.nullspaces(frames), cfg.solver_mode_delta)
+    # the window table is loop-invariant too (images never change inside
+    # optimize) — build once, close over it in the loop body; it turns the
+    # per-tap gathers of every linearize into one row gather per (p, f)
+    window_table = ba.build_window_table(frames.images)
     slot_mask = _slot_mask(frames)
     lam = jnp.float32(cfg.fix_lambda)
 
@@ -199,7 +203,7 @@ def ba_optimize(
     def gn_iter(carry):
         i, frames, calib, points, res_state, done = carry
         AH, AT = ba.compute_adjoints(frames)
-        lin = ba.linearize(frames, points, calib, cfg)
+        lin = ba.linearize(frames, points, calib, cfg, window_table=window_table)
         # sticky OOB (applyRes semantics, OptimizationClasses.cpp:235-256)
         new_rs = jnp.where(res_state == W.RES_OOB, W.RES_OOB, lin.new_state)
         active = (new_rs == W.RES_IN) & grid
@@ -273,7 +277,7 @@ def ba_optimize(
     # final fixing pass: linearizeAll(true) — updates residual states,
     # energy threshold, maxRelBaseline/numGoodRes, tracker projections
     AH, AT = ba.compute_adjoints(frames)
-    lin = ba.linearize(frames, points, calib, cfg)
+    lin = ba.linearize(frames, points, calib, cfg, window_table=window_table)
     new_rs = jnp.where(res_state == W.RES_OOB, W.RES_OOB, lin.new_state)
     active = (new_rs == W.RES_IN) & grid
 

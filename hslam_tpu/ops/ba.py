@@ -114,11 +114,132 @@ class Linearization(NamedTuple):
     center_idepth: jnp.ndarray
 
 
+# ---------------------------------------------------------------------------
+# window tables: one gather row per (point, frame) instead of per pattern tap
+# ---------------------------------------------------------------------------
+#
+# TPU XLA gathers are per-row bound (~25-50ns/row from HBM regardless of row
+# width up to ~512B). linearize() needs I, dx, dy at 8 pattern taps for every
+# (point, target) residual = P*F*8 rows/GN-iteration the naive way — the
+# single hottest op in the whole system. Instead we pre-slice the intensity
+# image into 12x12 windows anchored at even pixel origins (stride 2), gather
+# ONE window row per (point, frame) around the projected pattern center, and
+# reconstruct all 8 bilinear taps AND their central-difference gradients from
+# the window with separable weight vectors. Exact-equal to sampling the
+# precomputed (I, dx, dy) pyramid for every in-window tap (gradients are
+# central differences of I, zero only on the outermost image border, which
+# proj_ok already excludes). Taps that fall outside their window (relative
+# pattern warp beyond ~±3.5px, i.e. host->target scale change beyond ~1.4x)
+# are flagged OOB — the reference would keep such residuals, but at that
+# distortion the 8-tap pattern is no longer comparable anyway.
+
+WIN = 12          # window side in pixels
+WIN_STRIDE = 2    # window origin stride (even origins)
+
+
+def build_window_table(images: jnp.ndarray) -> jnp.ndarray:
+    """(F, H, W, 3) [I, dx, dy] frames -> (F * (H//2) * (W//2), WIN*WIN)
+    intensity windows: row r = I[y0:y0+12, x0:x0+12] flattened, where
+    r = f * (H//2) * (W//2) + (y0//2) * (W//2) + (x0//2)."""
+    I = images[..., 0]
+    F, H, W = I.shape
+    Ip = jnp.pad(I, ((0, 0), (0, WIN), (0, WIN)))
+    # two-stage separable construction: a single 144-slice stack on the minor
+    # axis lowers to 4B scatter-stride writes (60ms measured / 40GB of
+    # buffers at compile); two 12-slice stages with one final transpose stay
+    # contiguous
+    V = jnp.stack(
+        [Ip[:, dy : dy + H : WIN_STRIDE, :] for dy in range(WIN)], axis=0
+    )  # (12, F, H//2, W + WIN)
+    T = jnp.stack(
+        [V[:, :, :, dx : dx + W : WIN_STRIDE] for dx in range(WIN)], axis=0
+    )  # (12dx, 12dy, F, H//2, W//2)
+    tbl = jnp.transpose(T, (2, 3, 4, 1, 0))  # (F, H//2, W//2, dy, dx)
+    return tbl.reshape(F * (H // 2) * (W // 2), WIN * WIN)
+
+
+def _window_taps(window_table, Ku, Kv, Hh, Ww):
+    """Gather one 12x12 intensity window per (p, f) and reconstruct the
+    8 bilinear taps of I plus their central-difference image gradients.
+
+    Ku, Kv: (P, F, 8) tap projections. Returns (hit_I, hit_dx, hit_dy,
+    in_win) each (P, F, 8); in_win marks taps whose bilinear + gradient
+    stencil is fully inside the window (callers OOB-mask the rest)."""
+    P, F, K = Ku.shape
+    W2 = Ww // 2
+    # window origin from the projected pattern center (tap 4 = (0, 0))
+    gx = jnp.floor(Ku[..., 4]).astype(jnp.int32)
+    gy = jnp.floor(Kv[..., 4]).astype(jnp.int32)
+    x0 = jnp.clip(2 * ((gx - 4) // 2), 0, Ww - WIN)
+    y0 = jnp.clip(2 * ((gy - 4) // 2), 0, Hh - WIN)
+    widx = (jnp.arange(F, dtype=jnp.int32)[None, :] * ((Hh // 2) * W2)
+            + (y0 // 2) * W2 + (x0 // 2))                       # (P, F)
+    win = window_table[widx].reshape(P, F, WIN, WIN)            # y, x
+
+    # local tap coordinates inside the window
+    lx = Ku - x0[..., None].astype(jnp.float32)                 # (P, F, 8)
+    ly = Kv - y0[..., None].astype(jnp.float32)
+    ix = jnp.floor(lx).astype(jnp.int32)
+    iy = jnp.floor(ly).astype(jnp.int32)
+    in_win = (ix >= 1) & (ix <= WIN - 3) & (iy >= 1) & (iy <= WIN - 3)
+    ixc = jnp.clip(ix, 1, WIN - 3)
+    iyc = jnp.clip(iy, 1, WIN - 3)
+    fx = jnp.clip(lx - ixc, 0.0, 1.0)
+    fy = jnp.clip(ly - iyc, 0.0, 1.0)
+
+    iota = jnp.arange(WIN, dtype=jnp.int32)
+    def hat(i, f):
+        # (P, F, 8, WIN) bilinear hat: (1-f) at i, f at i+1
+        oh0 = (iota == i[..., None]).astype(jnp.float32)
+        oh1 = (iota == (i[..., None] + 1)).astype(jnp.float32)
+        return oh0 * (1.0 - f[..., None]) + oh1 * f[..., None]
+
+    def cdiff(i, f):
+        # central-difference-of-I sampled bilinearly:
+        # 0.5*[(1-f)*(e_{i+1}-e_{i-1}) + f*(e_{i+2}-e_i)]
+        ohm = (iota == (i[..., None] - 1)).astype(jnp.float32)
+        oh0 = (iota == i[..., None]).astype(jnp.float32)
+        oh1 = (iota == (i[..., None] + 1)).astype(jnp.float32)
+        oh2 = (iota == (i[..., None] + 2)).astype(jnp.float32)
+        return 0.5 * ((oh1 - ohm) * (1.0 - f[..., None]) + (oh2 - oh0) * f[..., None])
+
+    wx = hat(ixc, fx)
+    wy = hat(iyc, fy)
+    cx = cdiff(ixc, fx)
+    cy = cdiff(iyc, fy)
+
+    # broadcast-multiply-sums, NOT einsum/dot: a batched (8,12)@(12,12)
+    # matmul would be padded to 128x128 MXU tiles by XLA (observed 40GB+ of
+    # padded operands); as VPU reductions the intermediates are (P,F,8,12,12)
+    winb = win[:, :, None, :, :]                  # (P, F, 1, y, x)
+    tx_w = jnp.sum(wy[..., :, None] * winb, axis=-2)   # (P, F, 8, x)
+    tx_c = jnp.sum(cy[..., :, None] * winb, axis=-2)
+    hit_I = jnp.sum(tx_w * wx, axis=-1)
+    hit_dx = jnp.sum(tx_w * cx, axis=-1)
+    hit_dy = jnp.sum(tx_c * wx, axis=-1)
+    return hit_I, hit_dx, hit_dy, in_win
+
+
+def pack_image_stack(images: jnp.ndarray) -> jnp.ndarray:
+    """Pre-pack every frame's (H, W, 3) [I, dx, dy] into per-pixel 2x2
+    interpolation cells -> (F, H, W, 3, 4). Loop-invariant during one
+    optimize() call: XLA cannot hoist it out of the GN while_loop because
+    the frame pytree is loop-carried, so callers pack once and close over
+    the result (saves ~F*H*W*48B of HBM churn per GN iteration)."""
+    from ..utils.interp import pack_cells
+
+    return jax.vmap(
+        lambda img: jnp.stack([pack_cells(img[..., c]) for c in range(3)], axis=2)
+    )(images)
+
+
 def linearize(
     frames: W.Frames,
     points: W.Points,
     calib: Calib,
     cfg: Config,
+    packed_images: jnp.ndarray | None = None,
+    window_table: jnp.ndarray | None = None,
 ) -> Linearization:
     """Relinearize every (point, target-frame) residual at the current state
     with first-estimate (FEJ) geometric Jacobians.
@@ -243,30 +364,36 @@ def linearize(
     center_v = Kv[..., 4]
     center_idepth = points.idepth[:, None] / z[..., 4]
 
-    # gather target intensities + precomputed gradients, per frame; packed
-    # 2x2 cells make each bilinear sample one row gather (utils.interp)
-    from ..utils.interp import pack_cells
+    # gather target intensities + gradients: preferred path is ONE window row
+    # per (point, frame) (see build_window_table); fallback is a packed-cell
+    # row gather per tap (utils.interp)
+    win_ok = None
+    if window_table is not None:
+        hit_I, hit_dx, hit_dy, in_win = _window_taps(window_table, Ku, Kv, Hh, Ww)
+        win_ok = jnp.all(in_win, axis=-1)
+    else:
+        if packed_images is None:
+            packed_images = pack_image_stack(frames.images)
 
-    def gather_frame(img, KuF, KvF):
-        # img (H, W, 3); KuF/KvF (P, 8)
-        packed = jnp.stack([pack_cells(img[..., c]) for c in range(3)], axis=2)
-        Kuc = jnp.clip(KuF, 0.0, Ww - 1.001)
-        Kvc = jnp.clip(KvF, 0.0, Hh - 1.001)
-        ix = jnp.clip(jnp.floor(Kuc).astype(jnp.int32), 0, Ww - 2)
-        iy = jnp.clip(jnp.floor(Kvc).astype(jnp.int32), 0, Hh - 2)
-        dxf = Kuc - ix
-        dyf = Kvc - iy
-        cells = packed.reshape(Hh * Ww, 3, 4)[iy * Ww + ix]   # (P, 8, 3, 4)
-        wx = dxf[..., None]
-        wy = dyf[..., None]
-        top = cells[..., 0] * (1 - wx) + cells[..., 1] * wx
-        bot = cells[..., 2] * (1 - wx) + cells[..., 3] * wx
-        return top * (1 - wy) + bot * wy
+        def gather_frame(packed, KuF, KvF):
+            # packed (H, W, 3, 4); KuF/KvF (P, 8)
+            Kuc = jnp.clip(KuF, 0.0, Ww - 1.001)
+            Kvc = jnp.clip(KvF, 0.0, Hh - 1.001)
+            ix = jnp.clip(jnp.floor(Kuc).astype(jnp.int32), 0, Ww - 2)
+            iy = jnp.clip(jnp.floor(Kvc).astype(jnp.int32), 0, Hh - 2)
+            dxf = Kuc - ix
+            dyf = Kvc - iy
+            cells = packed.reshape(Hh * Ww, 3, 4)[iy * Ww + ix]   # (P, 8, 3, 4)
+            wx = dxf[..., None]
+            wy = dyf[..., None]
+            top = cells[..., 0] * (1 - wx) + cells[..., 1] * wx
+            bot = cells[..., 2] * (1 - wx) + cells[..., 3] * wx
+            return top * (1 - wy) + bot * wy
 
-    hit = jax.vmap(gather_frame, in_axes=(0, 1, 1), out_axes=1)(
-        frames.images, Ku, Kv
-    )  # (P, F, 8, 3)
-    hit_I, hit_dx, hit_dy = hit[..., 0], hit[..., 1], hit[..., 2]
+        hit = jax.vmap(gather_frame, in_axes=(0, 1, 1), out_axes=1)(
+            packed_images, Ku, Kv
+        )  # (P, F, 8, 3)
+        hit_I, hit_dx, hit_dy = hit[..., 0], hit[..., 1], hit[..., 2]
 
     residual = hit_I - (a_pf[..., None] * points.color[:, None, :] + b_pf[..., None])
     drdA = points.color[:, None, :] - b0_p[:, None, None]       # (P, F, 8)
@@ -294,6 +421,8 @@ def linearize(
         | ~jnp.all(proj_ok, axis=-1)
         | ~jnp.all(jnp.isfinite(hit_I), axis=-1)
     )
+    if win_ok is not None:
+        oob = oob | ~win_ok
     energy_raw = jnp.sum(energy_terms, axis=-1)
     th = jnp.maximum(frames.energy_th[h_idx][:, None], frames.energy_th[None, :])
     out = (energy_raw > th) | (wJI2 < 2.0)
@@ -333,9 +462,16 @@ def accumulate(
     AT: jnp.ndarray,
     n_frames: int,
 ) -> GNSystem:
-    """Assemble the absolute GN system from factored Jacobians in one MXU
-    pass (replaces AccumulatedTopHessianSSE addPoint + stitchDouble and the
-    per-point parts of AccumulatedSCHessianSSE::addPoint)."""
+    """Assemble the absolute GN system from factored Jacobians.
+
+    Two-stage, like the reference: per-(host, target) pair blocks in the
+    *relative* 12-dim basis [4 calib | 6 se3 | a | b] (the reference's 13x13
+    AccumulatorApprox minus the residual column), grouped by host slot with
+    a one-hot contraction, then a tiny (F, F)-batched adjoint stitch into
+    the (D, D) absolute system (stitchDoubleInternal,
+    AccumulatedTopHessian.cpp:148-280). This avoids materializing any
+    (P, F, 4, D) absolute basis — the largest intermediate is (P, F, 12, 12).
+    """
     P, F = active.shape
     D = CPARS + 8 * F
 
@@ -346,51 +482,85 @@ def accumulate(
     M = jnp.einsum("pfka,pfkb->pfab", C, C)                     # (P, F, 4, 4)
     mvec = jnp.einsum("pfka,pfk->pfa", C, lin.resF)             # (P, F, 4)
 
-    # relative-state basis rows B_rel (P, F, 4, 8):
-    #   rows 0, 1: [Jpdxi, 0, 0]; row 2: e_a; row 3: e_b
-    B_rel = jnp.zeros((P, F, 4, 8), jnp.float32)
-    B_rel = B_rel.at[:, :, 0:2, 0:6].set(lin.Jpdxi)
-    B_rel = B_rel.at[:, :, 2, 6].set(1.0)
-    B_rel = B_rel.at[:, :, 3, 7].set(1.0)
-
-    # map to absolute host/target blocks: U_h = B_rel @ AH[h, t]^T
-    AH_pf = AH[host]          # (P, F, 8, 8)
-    AT_pf = AT[host]
-    U_h = jnp.einsum("pfkr,pfsr->pfks", B_rel, AH_pf)           # (P, F, 4, 8)
-    U_t = jnp.einsum("pfkr,pfsr->pfks", B_rel, AT_pf)
-
-    # calib block rows
-    U_c = jnp.zeros((P, F, 4, CPARS), jnp.float32)
-    U_c = U_c.at[:, :, 0:2, :].set(lin.Jpdc)
-
-    # scatter into the absolute basis U (P, F, 4, D)
-    host_onehot = jax.nn.one_hot(host, F, dtype=jnp.float32)    # (P, F)
-    eyeF = jnp.eye(F, dtype=jnp.float32)
-    U_frames = (
-        jnp.einsum("pg,pfks->pfkgs", host_onehot, U_h)
-        + jnp.einsum("fg,pfks->pfkgs", eyeF, U_t)
-    ).reshape(P, F, 4, 8 * F)
-    U = jnp.concatenate([U_c, U_frames], axis=-1)               # (P, F, 4, D)
+    # relative basis rows B (P, F, 4, 12): cols [0:4] calib, [4:12] rel 8-dof
+    #   rows 0, 1: [Jpdc | Jpdxi, 0, 0]; row 2: e_a; row 3: e_b
+    B = jnp.zeros((P, F, 4, 12), jnp.float32)
+    B = B.at[:, :, 0:2, 0:4].set(lin.Jpdc)
+    B = B.at[:, :, 0:2, 4:10].set(lin.Jpdxi)
+    B = B.at[:, :, 2, 10].set(1.0)
+    B = B.at[:, :, 3, 11].set(1.0)
 
     # mask inactive residuals
     Mw = M * m[..., None, None]
     mw = mvec * m[..., None]
 
-    # H = sum U^T M U ; b = sum U^T m  — single large matmuls
-    WU = jnp.einsum("pfab,pfbd->pfad", Mw, U)                   # (P, F, 4, D)
-    Uf = U.reshape(-1, D)
-    WUf = WU.reshape(-1, D)
-    H = Uf.T @ WUf                                              # (D, D)
-    b = jnp.einsum("pfkd,pfk->d", U, mw)
+    # per-residual relative blocks, then group by host slot
+    MB = jnp.einsum("pfab,pfbj->pfaj", Mw, B)                   # (P, F, 4, 12)
+    G = jnp.einsum("pfai,pfaj->pfij", B, MB)                    # (P, F, 12, 12)
+    host_onehot = jax.nn.one_hot(host, F, dtype=jnp.float32)    # (P, F)
+    Hrel = jnp.einsum("ph,pfij->hfij", host_onehot, G)          # (F, F, 12, 12)
+    brel_r = jnp.einsum("pfaj,pfa->pfj", B, mw)                 # (P, F, 12)
+    brel = jnp.einsum("ph,pfj->hfj", host_onehot, brel_r)       # (F, F, 12)
 
-    # idepth basis coefficients
+    # --- adjoint stitch (relative pair blocks -> absolute (D, D))
+    # row basis maps as U_h = B_rel @ AH^T, U_t = B_rel @ AT^T, so
+    # H_abs(h, h) = AH Hrr AH^T etc. (64 pairs of 8x8 matmuls — trivial)
+    Hcc = jnp.sum(Hrel[:, :, 0:4, 0:4], axis=(0, 1))            # (4, 4)
+    Hcr = Hrel[:, :, 0:4, 4:12]                                 # (F, F, 4, 8)
+    Hrr = Hrel[:, :, 4:12, 4:12]                                # (F, F, 8, 8)
+
+    Hch = jnp.einsum("htcr,htsr->htcs", Hcr, AH)                # (F, F, 4, 8)
+    Hct = jnp.einsum("htcr,htsr->htcs", Hcr, AT)
+    HrrAHt = jnp.einsum("htij,htsj->htis", Hrr, AH)             # Hrr @ AH^T
+    HrrATt = jnp.einsum("htij,htsj->htis", Hrr, AT)
+    Hhh = jnp.einsum("htir,htrs->htis", AH, HrrAHt)             # AH Hrr AH^T
+    Htt = jnp.einsum("htir,htrs->htis", AT, HrrATt)
+    Hht = jnp.einsum("htir,htrs->htis", AH, HrrATt)             # AH Hrr AT^T
+
+    # frame-block matrix (F, F, 8, 8): off-diagonal from ordered pairs
+    # (both (g1,g2) and (g2,g1) pair groups contribute), diagonal from the
+    # host-host and target-target sums
+    Hframes = Hht + jnp.swapaxes(jnp.swapaxes(Hht, 0, 1), 2, 3)
+    diag_blocks = jnp.sum(Hhh, axis=1) + jnp.sum(Htt, axis=0)   # (F, 8, 8)
+    eyeF = jnp.eye(F, dtype=jnp.float32)
+    Hframes = Hframes + eyeF[:, :, None, None] * diag_blocks[:, None, :, :]
+
+    Hcf = jnp.sum(Hch, axis=1) + jnp.sum(Hct, axis=0)           # (F, 4, 8)
+
+    H = jnp.zeros((D, D), jnp.float32)
+    H = H.at[:CPARS, :CPARS].set(Hcc)
+    Hcf_flat = jnp.swapaxes(Hcf, 0, 1).reshape(CPARS, 8 * F)
+    H = H.at[:CPARS, CPARS:].set(Hcf_flat)
+    H = H.at[CPARS:, :CPARS].set(Hcf_flat.T)
+    H = H.at[CPARS:, CPARS:].set(
+        jnp.swapaxes(Hframes, 1, 2).reshape(8 * F, 8 * F)
+    )
+
+    b_c = jnp.sum(brel[:, :, 0:4], axis=(0, 1))                 # (4,)
+    br = brel[:, :, 4:12]                                       # (F, F, 8)
+    b_frames = (
+        jnp.sum(jnp.einsum("htsr,htr->hts", AH, br), axis=1)    # host rows
+        + jnp.sum(jnp.einsum("htsr,htr->hts", AT, br), axis=0)  # target rows
+    )  # (F, 8)
+    b = jnp.concatenate([b_c, b_frames.reshape(-1)])
+
+    # idepth basis coefficients -> per-point Schur scalars + cross rows
     V_d = jnp.concatenate(
         [lin.Jpdd, jnp.zeros((P, F, 2), jnp.float32)], axis=-1
     )  # (P, F, 4)
     MV = jnp.einsum("pfab,pfb->pfa", Mw, V_d)                   # (P, F, 4)
     Hdd = jnp.einsum("pfa,pfa->p", V_d, MV)
     bd = jnp.einsum("pfa,pfa->p", V_d, mw)
-    g = jnp.einsum("pfkd,pfk->pd", U, MV)                       # (P, D)
+
+    grel = jnp.einsum("pfaj,pfa->pfj", B, MV)                   # (P, F, 12)
+    g_c = jnp.sum(grel[:, :, 0:4], axis=1)                      # (P, 4)
+    gr = grel[:, :, 4:12]                                       # (P, F, 8)
+    AH_pf = AH[host]                                            # (P, F, 8, 8)
+    AT_pf = AT[host]
+    g_t = jnp.einsum("pfsr,pfr->pfs", AT_pf, gr)                # (P, F, 8)
+    g_h = jnp.sum(jnp.einsum("pfsr,pfr->pfs", AH_pf, gr), axis=1)  # (P, 8)
+    g_frames = g_t + host_onehot[:, :, None] * g_h[:, None, :]
+    g = jnp.concatenate([g_c, g_frames.reshape(P, 8 * F)], axis=-1)
 
     return GNSystem(
         H=H, b=b, Hdd=Hdd, bd=bd, g=g,

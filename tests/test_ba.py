@@ -422,3 +422,32 @@ class TestOptimize:
         # not quadratically; ~2x reduction per optimize() call is the
         # expected behavior (the live system only ever sees warm starts).
         assert err_after < 0.55 * err_b4, (err_b4, err_after)
+
+
+class TestWindowGather:
+    def test_window_path_matches_packed_path(self):
+        """linearize() via the 12x12 window-table gather == the per-tap
+        packed-cell gather on every residual both paths keep (the window
+        path additionally OOB-masks taps whose stencil leaves the window;
+        on this moderate-motion fixture none do)."""
+        wnd, calib, cfg, _ = make_rendered_window(
+            pert=0.02 * np.random.RandomState(3).randn(4, 8)
+        )
+        frames, points = wnd.frames, wnd.points
+        lin_p = ba.linearize(frames, points, calib, cfg)
+        tbl = ba.build_window_table(frames.images)
+        lin_w = ba.linearize(frames, points, calib, cfg, window_table=tbl)
+
+        keep = np.asarray(lin_w.new_state != W.RES_OOB)
+        assert keep.mean() > 0.5, "window fixture should keep most residuals"
+        for name in ("resF", "JIdx", "JabF", "energy"):
+            a = np.asarray(getattr(lin_p, name))
+            b = np.asarray(getattr(lin_w, name))
+            sel = keep if a.ndim == 2 else keep[..., None].repeat(
+                a.shape[2], axis=2) if a.ndim == 3 else keep[..., None, None]
+            np.testing.assert_allclose(
+                a[keep], b[keep], rtol=1e-4, atol=1e-3,
+                err_msg=f"window-path mismatch in {name}")
+        # states agree wherever the window path doesn't extra-mask
+        assert (np.asarray(lin_w.new_state)[keep]
+                == np.asarray(lin_p.new_state)[keep]).all()
