@@ -89,12 +89,19 @@ class LoopCloser:
             kp_depth_ok=None if kp_depth_ok is None else np.asarray(kp_depth_ok),
         ))
 
-    def detect(self, query_idx: int, K: np.ndarray) -> Optional[LoopResult]:
-        """Try to close a loop for entry `query_idx` (usually the newest)."""
+    def detect(self, query_idx: int, K: np.ndarray,
+               exclude_kfs=()) -> Optional[LoopResult]:
+        """Try to close a loop for entry `query_idx` (usually the newest).
+
+        `exclude_kfs`: kf_ids covisible with the query per the keyframe
+        connectivity map (EnergyFunctional.h:83) — a loop against a keyframe
+        the window already shares residuals with adds no information and can
+        short-circuit the min_gap check after marginalization reshuffles."""
         q = self.entries[query_idx]
         cands = [
             i for i, e in enumerate(self.entries)
             if abs(e.kf_id - q.kf_id) >= self.min_gap
+            and e.kf_id not in exclude_kfs
         ]
         if not cands:
             return None

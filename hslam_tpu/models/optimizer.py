@@ -175,8 +175,18 @@ def ba_optimize(
     calib: Calib,
     cfg: Config,
     n_iterations: int,
+    frozen: ba.FrozenResiduals | None = None,
 ) -> BAResult:
-    """The full GN loop for one keyframe insertion (System::optimize)."""
+    """The full GN loop for one keyframe insertion (System::optimize).
+
+    `frozen` optionally supplies mode-1 linearized residuals (fixed J,
+    resApprox = res_toZero + J*delta) accumulated alongside the active set
+    each iteration (accumulateAF_MT + accumulateLF_MT,
+    EnergyFunctional.cpp:155-197). In the reference this set is always empty
+    during optimize() — isLinearized is only ever set on residuals of points
+    marginalized in the same AddKeyframe pass (Mapping.cpp:287-292) — so the
+    default None matches reference behavior; the machinery exists for parity
+    tests and FEJ-consistent variants."""
     frames, points = wnd.frames, wnd.points
     F = frames.valid.shape[0]
 
@@ -209,7 +219,18 @@ def ba_optimize(
         active = (new_rs == W.RES_IN) & grid
 
         sys = ba.accumulate(lin, active, points.host, AH, AT, F)
+        if frozen is not None:
+            sys = ba.add_systems(
+                sys,
+                ba.accumulate_frozen(frozen, frames, calib, points.host,
+                                     AH, AT, F),
+            )
         pt_active = (points.status == W.PT_ACTIVE) & (jnp.sum(active, axis=1) > 0)
+        if frozen is not None:
+            pt_active = pt_active | (
+                (points.status == W.PT_ACTIVE)
+                & jnp.any(frozen.is_linearized, axis=1)
+            )
         H_sc, b_sc, HdiF = ba.schur_complement(sys, points.prior, pt_active)
 
         delta = _stitched_delta(frames, calib)
@@ -296,11 +317,17 @@ def ba_optimize(
     u_new = jnp.sum(jnp.where(tgt_new, lin.center_u, 0.0), axis=1)
     v_new = jnp.sum(jnp.where(tgt_new, lin.center_v, 0.0), axis=1)
     id_new = jnp.sum(jnp.where(tgt_new, lin.center_idepth, 0.0), axis=1)
+    relbs_new = jnp.sum(jnp.where(tgt_new, lin.rel_bs, 0.0), axis=1)
 
     points = points._replace(
         res_state=new_rs,
         num_good_res=points.num_good_res + new_in.astype(jnp.int32),
         idepth_hessian=idepth_hessian,
+        max_rel_baseline=jnp.where(
+            new_in,
+            jnp.maximum(points.max_rel_baseline, relbs_new),
+            points.max_rel_baseline,
+        ),
     )
 
     E_total = jnp.sum(jnp.where(active, lin.energy, 0.0))
@@ -343,35 +370,20 @@ def marginalize_points(
     F = frames.valid.shape[0]
 
     AH, AT = ba.compute_adjoints(frames)
-    lin = ba.linearize(frames, points, calib, cfg)
+    # same gather path as ba_optimize (window tables), so the residual set
+    # folded into HM/bM is exactly the set the GN loop optimized over
+    window_table = ba.build_window_table(frames.images)
+    lin = ba.linearize(frames, points, calib, cfg, window_table=window_table)
     grid = _residual_grid_mask(frames, points)
     active = grid & (lin.new_state == W.RES_IN) & to_marg[:, None]
 
-    # per-pair state delta dp (solver units): adHTdeltaF
-    # (EnergyFunctional.cpp:128-152); idepth delta is 0 by construction.
-    f_delta = (frames.state - frames.state_zero) * frames.valid[:, None]
-    dp = (
-        jnp.einsum("hfij,hi->hfj", AH, f_delta)
-        + jnp.einsum("hfij,fi->hfj", AT, f_delta)
-    )  # (F_host, F_target, 8)
-    dp_pf = dp[points.host]                                    # (P, F, 8)
-    c_delta = (calib.value - calib.value_zero) / jnp.asarray(CALIB_SCALE)
-    jp_dx = (
-        jnp.einsum("pfj,pfj->pf", lin.Jpdxi[:, :, 0], dp_pf[..., :6])
-        + lin.Jpdc[:, :, 0] @ c_delta
-    )
-    jp_dy = (
-        jnp.einsum("pfj,pfj->pf", lin.Jpdxi[:, :, 1], dp_pf[..., :6])
-        + lin.Jpdc[:, :, 1] @ c_delta
-    )
-    res_to_zero = (
-        lin.resF
-        - lin.JIdx[..., 0] * jp_dx[..., None]
-        - lin.JIdx[..., 1] * jp_dy[..., None]
-        - lin.JabF[..., 0] * dp_pf[..., None, 6]
-        - lin.JabF[..., 1] * dp_pf[..., None, 7]
-    )
-    lin = lin._replace(resF=res_to_zero)
+    # fixLinearizationF: res_toZero = resF - J * delta; mode-2 accumulation
+    # then runs at the zero-delta point (bM is advanced by HM @ delta at
+    # solve time). idepth delta is 0 by construction (idepth_zero := idepth
+    # at every accepted step).
+    frozen = ba.fix_linearization(lin, frames, calib, points.host, active,
+                                  AH, AT)
+    lin = lin._replace(resF=frozen.res_toZero)
 
     sys = ba.accumulate(lin, active, points.host, AH, AT, F)
     marg_prior = points.prior * cfg.idepth_fix_prior_marg_fac

@@ -111,6 +111,9 @@ class SLAMSystem:
         self.selector_pot = 5
         self._marg_counts: dict = {}
         self._last_flow = np.zeros(3)
+        # keyframe connectivity map (EnergyFunctional.h:83):
+        # (host_kf_id, target_kf_id) -> [n_active_res, n_marginalized_res]
+        self.connectivity: dict = {}
 
         # tracker reference state (host mirrors)
         self.template: Optional[trk_ops.Template] = None
@@ -725,6 +728,10 @@ class SLAMSystem:
         self.window = self.window._replace(
             points=pts._replace(status=new_status.astype(jnp.int32)))
 
+        # 6b. refresh the keyframe connectivity map from the fresh residual
+        # grid (insertResidual tallies, EnergyFunctional.cpp:377,406-408)
+        self._update_connectivity()
+
         # 7. rebuild the tracker template on the new reference
         self._set_tracking_ref(slot, shell, result)
 
@@ -792,7 +799,10 @@ class SLAMSystem:
             [[float(self.calib.value[0]), 0, float(self.calib.value[2])],
              [0, float(self.calib.value[1]), float(self.calib.value[3])],
              [0, 0, 1.0]])
-        loop = self.loop_closer.detect(len(self.loop_closer.entries) - 1, K)
+        loop = self.loop_closer.detect(
+            len(self.loop_closer.entries) - 1, K,
+            exclude_kfs=self._connected_kf_ids(shell.kf_id),
+        )
         if loop is None:
             return
         corrections = self.loop_closer.correct(loop, fix_scale=False)
@@ -1004,6 +1014,40 @@ class SLAMSystem:
         # activated (or attempted) candidates are consumed
         imm.valid = imm.valid & ~to_opt
 
+    def _update_connectivity(self):
+        """Active-residual counts per (host_kf, target_kf) pair
+        (EnergyFunctional.h:83 connectivityMap, [0] = active count)."""
+        F = self.cfg.max_frames
+        pts = self.window.points
+        frames = self.window.frames
+        res_in = np.asarray(pts.res_state == W.RES_IN) & (
+            np.asarray(pts.status) == W.PT_ACTIVE)[:, None]
+        onehot = np.eye(F, dtype=np.float64)[np.asarray(pts.host)]
+        counts = onehot.T @ res_in           # (F_host, F_target)
+        kf_of = np.asarray(frames.kf_id)
+        valid = np.asarray(frames.valid)
+        for h in range(F):
+            if not valid[h]:
+                continue
+            for t in range(F):
+                if not valid[t] or t == h or counts[h, t] == 0:
+                    continue
+                key = (int(kf_of[h]), int(kf_of[t]))
+                ent = self.connectivity.setdefault(key, [0, 0])
+                ent[0] = int(counts[h, t])
+
+    def _connected_kf_ids(self, kf_id: int) -> set:
+        """Keyframes sharing residuals (active or marginalized) with kf_id."""
+        out = set()
+        for (h, t), (na, nm) in self.connectivity.items():
+            if na + nm <= 0:
+                continue
+            if h == kf_id:
+                out.add(t)
+            elif t == kf_id:
+                out.add(h)
+        return out
+
     def _publish_window_poses(self):
         frames = self.window.frames
         R_f, t_f = W.frame_poses(frames)
@@ -1056,10 +1100,24 @@ class SLAMSystem:
         drop_nores = active & ((pts.idepth < 0) | (n_res == 0))
 
         host_flagged = fm[pts.host]
+        # lastResiduals[0/1]: states toward the two newest keyframes in the
+        # window (MapPoint.h:89-90,148-154) — in the dense grid these are the
+        # res_state columns of the two largest kf_ids
+        kf_ids = np.asarray(self.window.frames.kf_id)
+        valid_f = np.asarray(self.window.frames.valid)
+        order = np.argsort(np.where(valid_f, kf_ids, -1))
+        newest_slot = int(order[-1])
+        second_slot = int(order[-2]) if valid_f.sum() >= 2 else newest_slot
+        last0 = pts.res_state[:, newest_slot]
+        last1 = pts.res_state[:, second_slot]
         is_oob = (
             ((n_res >= cfg.min_good_active_res_for_marg)
              & (pts.num_good_res > cfg.min_good_res_for_marg + 10)
              & (n_res - vis_in_marg < cfg.min_good_active_res_for_marg))
+            # newest residual went OOB (MapPoint.h:148-149)
+            | (last0 == W.RES_OOB)
+            # both newest residuals are outliers (MapPoint.h:150-154)
+            | ((n_res >= 2) & (last0 == W.RES_OUT) & (last1 == W.RES_OUT))
         )
         affected = active & ~drop_nores & (is_oob | host_flagged)
         inlier = (n_res >= cfg.min_good_active_res_for_marg) & (
@@ -1073,6 +1131,26 @@ class SLAMSystem:
         removed_host = np.asarray(pts.host)[np.asarray(to_marg | to_drop)]
         for h in removed_host:
             self._marg_counts[int(h)] = self._marg_counts.get(int(h), 0) + 1
+
+        # marginalized-residual tallies into the connectivity map
+        # (EnergyFunctional::marginalizePointsF, EnergyFunctional.cpp:566)
+        F_ = self.cfg.max_frames
+        marg_np = np.asarray(to_marg)
+        if marg_np.any():
+            res_in_np = np.asarray(res_in) & marg_np[:, None]
+            onehot = np.eye(F_, dtype=np.float64)[np.asarray(pts.host)]
+            counts = onehot.T @ res_in_np
+            kf_of = np.asarray(self.window.frames.kf_id)
+            valid_f = np.asarray(self.window.frames.valid)
+            for h in range(F_):
+                if not valid_f[h]:
+                    continue
+                for t in range(F_):
+                    if not valid_f[t] or t == h or counts[h, t] == 0:
+                        continue
+                    key = (int(kf_of[h]), int(kf_of[t]))
+                    ent = self.connectivity.setdefault(key, [0, 0])
+                    ent[1] += int(counts[h, t])
 
         self.window = self._marg_points(self.window, self.calib, to_marg, to_drop)
 

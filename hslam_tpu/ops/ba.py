@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import (
+    CALIB_SCALE,
     CPARS,
     FRAME_STATE_SCALE,
     PATTERN,
@@ -112,6 +113,13 @@ class Linearization(NamedTuple):
     center_u: jnp.ndarray    # (P, F) center projection (current state)
     center_v: jnp.ndarray
     center_idepth: jnp.ndarray
+    rel_bs: jnp.ndarray      # (P, F) relative baseline indicator: 0.01 * px
+                             # distance between the idepth and the
+                             # infinite-depth center projections
+                             # (linearizeAll_Reductor, FullSystemOptimize.cpp:30-38)
+    win_miss: jnp.ndarray    # (P, F) bool: residual OOB'd only because a
+                             # pattern tap left its gather window (window-
+                             # table path only; all-False on the packed path)
 
 
 # ---------------------------------------------------------------------------
@@ -167,11 +175,17 @@ def _window_taps(window_table, Ku, Kv, Hh, Ww):
     stencil is fully inside the window (callers OOB-mask the rest)."""
     P, F, K = Ku.shape
     W2 = Ww // 2
-    # window origin from the projected pattern center (tap 4 = (0, 0))
-    gx = jnp.floor(Ku[..., 4]).astype(jnp.int32)
-    gy = jnp.floor(Kv[..., 4]).astype(jnp.int32)
-    x0 = jnp.clip(2 * ((gx - 4) // 2), 0, Ww - WIN)
-    y0 = jnp.clip(2 * ((gy - 4) // 2), 0, Hh - WIN)
+    # window origin from the warped taps' bounding-box center (NOT the center
+    # tap): splits the usable interior evenly around the whole pattern, so
+    # asymmetric warps (forward motion stretches taps away from the center)
+    # and host->target scale changes up to ~2.2x stay inside the window,
+    # vs ~1.4x when anchoring on tap 4
+    bbx = 0.5 * (jnp.max(Ku, axis=-1) + jnp.min(Ku, axis=-1))
+    bby = 0.5 * (jnp.max(Kv, axis=-1) + jnp.min(Kv, axis=-1))
+    gx = jnp.floor(bbx).astype(jnp.int32)
+    gy = jnp.floor(bby).astype(jnp.int32)
+    x0 = jnp.clip(2 * ((gx - 5) // 2), 0, Ww - WIN)
+    y0 = jnp.clip(2 * ((gy - 5) // 2), 0, Hh - WIN)
     widx = (jnp.arange(F, dtype=jnp.int32)[None, :] * ((Hh // 2) * W2)
             + (y0 // 2) * W2 + (x0 // 2))                       # (P, F)
     win = window_table[widx].reshape(P, F, WIN, WIN)            # y, x
@@ -364,6 +378,17 @@ def linearize(
     center_v = Kv[..., 4]
     center_idepth = points.idepth[:, None] / z[..., 4]
 
+    # relative-baseline indicator: px distance between the real-depth and the
+    # infinite-depth projections of the center pixel, scaled by 0.01
+    # (linearizeAll_Reductor, FullSystemOptimize.cpp:30-38)
+    rot_c = rot[..., 4, :]                       # (P, F, 3) = R K^-1 (u,v,1)
+    z_inf = jnp.where(jnp.abs(rot_c[..., 2]) < 1e-12, 1e-12, rot_c[..., 2])
+    u_inf = fx * rot_c[..., 0] / z_inf + cx
+    v_inf = fy * rot_c[..., 1] / z_inf + cy
+    rel_bs = 0.01 * jnp.sqrt(
+        (u_inf - center_u) ** 2 + (v_inf - center_v) ** 2
+    )
+
     # gather target intensities + gradients: preferred path is ONE window row
     # per (point, frame) (see build_window_table); fallback is a packed-cell
     # row gather per tap (utils.interp)
@@ -422,7 +447,13 @@ def linearize(
         | ~jnp.all(jnp.isfinite(hit_I), axis=-1)
     )
     if win_ok is not None:
+        # taps beyond the gather window are OOB'd only on the window path —
+        # expose the extra-masked set so callers can monitor the divergence
+        # from the reference (which keeps such residuals)
+        win_miss = ~oob & ~win_ok
         oob = oob | ~win_ok
+    else:
+        win_miss = jnp.zeros_like(oob)
     energy_raw = jnp.sum(energy_terms, axis=-1)
     th = jnp.maximum(frames.energy_th[h_idx][:, None], frames.energy_th[None, :])
     out = (energy_raw > th) | (wJI2 < 2.0)
@@ -437,6 +468,7 @@ def linearize(
         JIdx=JIdx, JabF=JabF, resF=resF,
         energy=energy, energy_raw=energy_raw, new_state=new_state,
         center_u=center_u, center_v=center_v, center_idepth=center_idepth,
+        rel_bs=rel_bs, win_miss=win_miss,
     )
 
 
@@ -636,3 +668,210 @@ def nullspace_projector(N: jnp.ndarray, svd_eps: float = 1e-5) -> jnp.ndarray:
 def orthogonalize(vec: jnp.ndarray, N: jnp.ndarray, svd_eps: float = 1e-5):
     """Project `vec` off the span of nullspace columns N."""
     return vec - nullspace_projector(N, svd_eps) @ vec
+
+
+# ---------------------------------------------------------------------------
+# linearized (mode-1) residuals: frozen Jacobians + res_toZero
+# ---------------------------------------------------------------------------
+#
+# Reference semantics (verified against the control flow, not just the class
+# definitions): `isLinearized = true` is set in exactly ONE place —
+# System::flagPointsForRemoval (Src/Mapping.cpp:287-292), on the residuals of
+# points that are flagged toMarg/toDrop and removed from the active set by
+# ef->marginalizePointsF in the SAME AddKeyframe pass. System::optimize builds
+# activeResiduals from !isLinearized residuals (FullSystemOptimize.cpp:375-390)
+# — so by the time the next optimize() runs, no linearized residual exists and
+# `numLRes` is always 0. The mode-1 accumulation path
+# (AccumulatedTopHessian.cpp:39-141 mode 1, EnergyFunctional::calcLEnergyPt
+# :289-347) is therefore exercised by the reference ONLY through mode 2
+# (marginalization, resApprox = res_toZeroF at delta == 0). Relinearizing
+# every surviving residual each optimize() — what ba_optimize does — is the
+# reference's actual behavior.
+#
+# The machinery below implements the full mode-1 path anyway (frozen J,
+# resApprox = res_toZero + J * delta, linearized energy) so the capability is
+# available and parity-testable: ba_optimize accepts an optional frozen set.
+
+
+class FrozenResiduals(NamedTuple):
+    """Residuals with fixed linearization (EFResidual with isLinearized,
+    Include/OptimizationClasses.h:145-153): Jacobian blocks frozen at the
+    moment of fixing, plus res_toZero (the residual extrapolated back to the
+    zero-delta point)."""
+
+    Jpdc: jnp.ndarray         # (P, F, 2, 4)
+    Jpdxi: jnp.ndarray        # (P, F, 2, 6)
+    Jpdd: jnp.ndarray         # (P, F, 2)
+    JIdx: jnp.ndarray         # (P, F, 8, 2)
+    JabF: jnp.ndarray         # (P, F, 8, 2)
+    res_toZero: jnp.ndarray   # (P, F, 8)
+    is_linearized: jnp.ndarray  # (P, F) bool
+
+
+def pair_deltas(frames: W.Frames, calib: Calib, AH: jnp.ndarray,
+                AT: jnp.ndarray):
+    """Per-(host, target) relative state deltas in solver units
+    (EnergyFunctional::setDeltaF adHTdeltaF, EnergyFunctional.cpp:128-152)
+    plus the calib delta. Returns (dp (F, F, 8), c_delta (4,))."""
+    f_delta = (frames.state - frames.state_zero) * frames.valid[:, None]
+    dp = (
+        jnp.einsum("hfij,hi->hfj", AH, f_delta)
+        + jnp.einsum("hfij,fi->hfj", AT, f_delta)
+    )
+    c_delta = (calib.value - calib.value_zero) / jnp.asarray(CALIB_SCALE)
+    return dp, c_delta
+
+
+def _jp_delta(lin_or_frozen, dp_pf: jnp.ndarray, c_delta: jnp.ndarray,
+              d_delta: jnp.ndarray):
+    """Jp * delta for both pixel rows: (P, F) each. d_delta (P,) is the
+    idepth delta (deltaF) — identically zero under the repo's invariant
+    idepth_zero := idepth at every accepted step, but kept for parity with
+    the reference algebra (OptimizationClasses.cpp:261-268)."""
+    jx = (
+        jnp.einsum("pfj,pfj->pf", lin_or_frozen.Jpdxi[:, :, 0], dp_pf[..., :6])
+        + lin_or_frozen.Jpdc[:, :, 0] @ c_delta
+        + lin_or_frozen.Jpdd[..., 0] * d_delta[:, None]
+    )
+    jy = (
+        jnp.einsum("pfj,pfj->pf", lin_or_frozen.Jpdxi[:, :, 1], dp_pf[..., :6])
+        + lin_or_frozen.Jpdc[:, :, 1] @ c_delta
+        + lin_or_frozen.Jpdd[..., 1] * d_delta[:, None]
+    )
+    return jx, jy
+
+
+def fix_linearization(
+    lin: Linearization,
+    frames: W.Frames,
+    calib: Calib,
+    host: jnp.ndarray,        # (P,)
+    is_linearized: jnp.ndarray,  # (P, F) bool
+    AH: jnp.ndarray,
+    AT: jnp.ndarray,
+    d_delta: jnp.ndarray | None = None,
+) -> FrozenResiduals:
+    """fixLinearizationF (OptimizationClasses.cpp:258-284):
+    res_toZero = resF - [JI*Jp | Jab] * delta, J frozen as-is."""
+    P = lin.resF.shape[0]
+    dp, c_delta = pair_deltas(frames, calib, AH, AT)
+    dp_pf = dp[host]
+    if d_delta is None:
+        d_delta = jnp.zeros(P, jnp.float32)
+    jx, jy = _jp_delta(lin, dp_pf, c_delta, d_delta)
+    res_to_zero = (
+        lin.resF
+        - lin.JIdx[..., 0] * jx[..., None]
+        - lin.JIdx[..., 1] * jy[..., None]
+        - lin.JabF[..., 0] * dp_pf[..., None, 6]
+        - lin.JabF[..., 1] * dp_pf[..., None, 7]
+    )
+    return FrozenResiduals(
+        Jpdc=lin.Jpdc, Jpdxi=lin.Jpdxi, Jpdd=lin.Jpdd,
+        JIdx=lin.JIdx, JabF=lin.JabF, res_toZero=res_to_zero,
+        is_linearized=is_linearized,
+    )
+
+
+def frozen_resapprox(
+    frozen: FrozenResiduals,
+    frames: W.Frames,
+    calib: Calib,
+    host: jnp.ndarray,
+    AH: jnp.ndarray,
+    AT: jnp.ndarray,
+    d_delta: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Mode-1 resApprox = res_toZero + [JI*Jp | Jab] * delta at the CURRENT
+    state (AccumulatedTopHessian.cpp:62-81)."""
+    P = frozen.res_toZero.shape[0]
+    dp, c_delta = pair_deltas(frames, calib, AH, AT)
+    dp_pf = dp[host]
+    if d_delta is None:
+        d_delta = jnp.zeros(P, jnp.float32)
+    jx, jy = _jp_delta(frozen, dp_pf, c_delta, d_delta)
+    return (
+        frozen.res_toZero
+        + frozen.JIdx[..., 0] * jx[..., None]
+        + frozen.JIdx[..., 1] * jy[..., None]
+        + frozen.JabF[..., 0] * dp_pf[..., None, 6]
+        + frozen.JabF[..., 1] * dp_pf[..., None, 7]
+    )
+
+
+def accumulate_frozen(
+    frozen: FrozenResiduals,
+    frames: W.Frames,
+    calib: Calib,
+    host: jnp.ndarray,
+    AH: jnp.ndarray,
+    AT: jnp.ndarray,
+    n_frames: int,
+    d_delta: jnp.ndarray | None = None,
+) -> GNSystem:
+    """Mode-1 accumulation (accumulateLF_MT, EnergyFunctional.cpp:177-197 +
+    AccumulatedTopHessian.cpp mode 1): frozen Jacobians with
+    resApprox = res_toZero + J * delta. Returns a GNSystem to be ADDED to the
+    active (mode-0) system before the Schur complement — the reference sums
+    Hdd_accAF + Hdd_accLF etc. per point (EnergyFunctional.cpp:225-247)."""
+    resapprox = frozen_resapprox(frozen, frames, calib, host, AH, AT, d_delta)
+    P, F = frozen.is_linearized.shape
+    zeros_pf = jnp.zeros((P, F), jnp.float32)
+    lin = Linearization(
+        Jpdc=frozen.Jpdc, Jpdxi=frozen.Jpdxi, Jpdd=frozen.Jpdd,
+        JIdx=frozen.JIdx, JabF=frozen.JabF, resF=resapprox,
+        energy=zeros_pf, energy_raw=zeros_pf,
+        new_state=jnp.zeros((P, F), jnp.int32),
+        center_u=zeros_pf, center_v=zeros_pf, center_idepth=zeros_pf,
+        rel_bs=zeros_pf, win_miss=frozen.is_linearized & False,
+    )
+    return accumulate(lin, frozen.is_linearized, host, AH, AT, n_frames)
+
+
+def add_systems(a: GNSystem, b: GNSystem) -> GNSystem:
+    """Sum two GN systems over the same state layout (active + linearized)."""
+    return GNSystem(
+        H=a.H + b.H, b=a.b + b.b, Hdd=a.Hdd + b.Hdd, bd=a.bd + b.bd,
+        g=a.g + b.g, num_res=a.num_res + b.num_res,
+    )
+
+
+def calc_l_energy(
+    frozen: FrozenResiduals,
+    frames: W.Frames,
+    calib: Calib,
+    host: jnp.ndarray,
+    AH: jnp.ndarray,
+    AT: jnp.ndarray,
+    point_prior: jnp.ndarray,     # (P,)
+    d_delta: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Linearized-residual energy (EnergyFunctional::calcLEnergyPt,
+    EnergyFunctional.cpp:289-347): sum of Jdelta * (Jdelta + 2 res_toZero)
+    over linearized residuals, plus the per-point idepth prior energy
+    deltaF^2 * priorF."""
+    P = frozen.res_toZero.shape[0]
+    if d_delta is None:
+        d_delta = jnp.zeros(P, jnp.float32)
+    dp, c_delta = pair_deltas(frames, calib, AH, AT)
+    dp_pf = dp[host]
+    jx, jy = _jp_delta(frozen, dp_pf, c_delta, d_delta)
+    jdelta = (
+        frozen.JIdx[..., 0] * jx[..., None]
+        + frozen.JIdx[..., 1] * jy[..., None]
+        + frozen.JabF[..., 0] * dp_pf[..., None, 6]
+        + frozen.JabF[..., 1] * dp_pf[..., None, 7]
+    )
+    terms = jdelta * (jdelta + 2.0 * frozen.res_toZero)
+    e_res = jnp.sum(
+        jnp.where(frozen.is_linearized[..., None], terms, 0.0)
+    )
+    e_prior = jnp.sum(d_delta * d_delta * point_prior)
+    return e_res + e_prior
+
+
+def calc_m_energy(HM: jnp.ndarray, bM: jnp.ndarray,
+                  delta: jnp.ndarray) -> jnp.ndarray:
+    """Marginalization-prior energy (EnergyFunctional::calcMEnergyF,
+    EnergyFunctional.cpp:277-286): delta . (2 bM + HM delta)."""
+    return delta @ (2.0 * bM + HM @ delta)

@@ -38,10 +38,28 @@ def device_time(
       state0: initial state pytree (device arrays).
       n1, n2: the two chained loop lengths to difference.
       reps: repetitions; the median difference is returned.
+
+    Every timed execution gets a unique input: a fresh device scalar salt
+    (~1e-30 relative) is folded into the first floating leaf of the state,
+    so tunnel-side deduplication of repeated identical executions can never
+    serve a timed call from cache. Non-positive differences mean the
+    measurement is broken (deduplication, clock skew) and raise rather than
+    silently clamping to zero.
     """
 
     def loop(n):
-        def run(state):
+        def run(state, salt):
+            leaves, treedef = jax.tree.flatten(state)
+            salted = []
+            done = False
+            for lf in leaves:
+                if not done and jnp.issubdtype(lf.dtype, jnp.floating):
+                    salted.append(lf + salt * 1e-30)
+                    done = True
+                else:
+                    salted.append(lf)
+            state = jax.tree.unflatten(treedef, salted)
+
             def it(_, carry):
                 st, acc = carry
                 st2, s = body(st)
@@ -51,16 +69,30 @@ def device_time(
         return jax.jit(run)
 
     f1, f2 = loop(n1), loop(n2)
-    float(f1(state0))  # compile
-    float(f2(state0))
+    salt_i = 0
+
+    def call(f):
+        nonlocal salt_i
+        salt_i += 1
+        return float(f(state0, jnp.float32(salt_i)))
+
+    call(f1)  # compile
+    call(f2)
 
     ts = []
     for _ in range(reps):
         t0 = time.time()
-        float(f1(state0))
+        call(f1)
         t1 = time.time()
-        float(f2(state0))
+        call(f2)
         t2 = time.time()
         ts.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
     ts.sort()
-    return max(ts[len(ts) // 2], 0.0)
+    med = ts[len(ts) // 2]
+    if med <= 0.0:
+        raise RuntimeError(
+            f"device_time measured a non-positive per-iteration delta "
+            f"({med * 1e3:.3f} ms); the differencing premise is broken "
+            f"(deduplicated executions or dispatch jitter dominating)."
+        )
+    return med

@@ -12,10 +12,14 @@ from typing import List, Tuple
 import numpy as np
 
 
-def window_pointcloud(window, calib, max_points=None):
+def window_pointcloud(window, calib, max_points=None,
+                      min_rel_bs: float = 0.0, max_idepth_var: float = 1e8):
     """Back-project the window's active points to world space.
 
-    Returns (xyz (M, 3), intensity (M,))."""
+    `min_rel_bs` / `max_idepth_var` filter poorly-triangulated points the
+    way the reference's point-cloud view does (Src/Display.cpp:409-412:
+    skip if maxRelBaseline < my_minRelBS or 1/(idepth_hessian+0.01) too
+    large). Returns (xyz (M, 3), intensity (M,))."""
     import jax.numpy as jnp
 
     from ..models import window as W
@@ -33,8 +37,13 @@ def window_pointcloud(window, calib, max_points=None):
     v = np.asarray(pts.v)
     idp = np.asarray(pts.idepth)
     col = np.asarray(pts.color)[:, 4]
+    rel_bs = np.asarray(pts.max_rel_baseline)
+    id_var = 1.0 / (np.asarray(pts.idepth_hessian) + 0.01)
 
-    act = (status == W.PT_ACTIVE) & (idp > 1e-6)
+    act = (
+        (status == W.PT_ACTIVE) & (idp > 1e-6)
+        & (rel_bs >= min_rel_bs) & (id_var <= max_idepth_var)
+    )
     xyz = []
     inten = []
     for i in np.where(act)[0]:

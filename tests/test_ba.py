@@ -424,6 +424,224 @@ class TestOptimize:
         assert err_after < 0.55 * err_b4, (err_b4, err_after)
 
 
+class TestLinearizedResiduals:
+    """Mode-1 (isLinearized) machinery: frozen Jacobians, res_toZero,
+    resApprox reconstruction, mixed active+linearized accumulation, and the
+    linearized/marginal energies (AccumulatedTopHessian.cpp:39-141,
+    OptimizationClasses.cpp:258-284, EnergyFunctional.cpp:277-347)."""
+
+    def _freeze_at(self, wnd, calib, cfg):
+        lin, active, AH, AT, _ = _lin_and_sys(wnd, calib, cfg)
+        frozen = ba.fix_linearization(
+            lin, wnd.frames, calib, wnd.points.host, active, AH, AT)
+        return lin, active, AH, AT, frozen
+
+    def test_resapprox_reconstructs_resF_at_fixing_state(self):
+        """res_toZero + J*delta at the SAME state == the original resF
+        (fixLinearizationF followed by mode-1 resApprox is the identity)."""
+        wnd, calib, cfg = make_synthetic_window()
+        lin, active, AH, AT, frozen = self._freeze_at(wnd, calib, cfg)
+        approx = ba.frozen_resapprox(
+            frozen, wnd.frames, calib, wnd.points.host, AH, AT)
+        a = np.asarray(lin.resF)[np.asarray(active)]
+        b = np.asarray(approx)[np.asarray(active)]
+        np.testing.assert_allclose(a, b, atol=5e-4 * max(np.abs(a).max(), 1.0))
+
+    def test_mixed_active_linearized_dense_parity(self):
+        """f64 dense parity of the MIXED system: half the residuals active
+        (mode 0, relinearized at the moved state), half linearized (mode 1,
+        frozen J + resApprox = res_toZero + J*delta_new). The combined
+        H/b/Hdd/bd/g must equal a dense numpy assembly using each residual's
+        respective Jacobians and residual vectors."""
+        wnd, calib, cfg = make_synthetic_window()
+        F, P = cfg.max_frames, cfg.max_points
+        D = CPARS + 8 * F
+        lin0, active0, AH0, AT0, _ = _lin_and_sys(wnd, calib, cfg)
+
+        # split: even points' residuals get frozen, odd stay active
+        pidx = jnp.arange(P)
+        freeze_mask = active0 & ((pidx % 2 == 0)[:, None])
+        act_mask = active0 & ((pidx % 2 == 1)[:, None])
+        frozen = ba.fix_linearization(
+            lin0, wnd.frames, calib, wnd.points.host, freeze_mask, AH0, AT0)
+
+        # move the state (this is the delta the frozen set must track)
+        st2 = wnd.frames.state + 0.003 * jax.random.normal(
+            jax.random.PRNGKey(42), (F, 8))
+        st2 = st2.at[0].set(wnd.frames.state[0])
+        frames2 = wnd.frames._replace(state=st2.astype(jnp.float32))
+        wnd2 = wnd._replace(frames=frames2)
+
+        AH, AT = ba.compute_adjoints(frames2)   # adjoints are FEJ-based;
+        lin2 = ba.linearize(frames2, wnd.points, calib, cfg)
+        sys_a = ba.accumulate(lin2, act_mask, wnd.points.host, AH, AT, F)
+        sys_l = ba.accumulate_frozen(
+            frozen, frames2, calib, wnd.points.host, AH, AT, F)
+        sys = ba.add_systems(sys_a, sys_l)
+
+        # --- dense f64 reference
+        AHn = np.asarray(AH, np.float64)
+        ATn = np.asarray(AT, np.float64)
+        host = np.asarray(wnd.points.host)
+
+        # frozen resApprox in f64: res_toZero + J*delta
+        dp, c_delta = ba.pair_deltas(frames2, calib, AH, AT)
+        dpn = np.asarray(dp, np.float64)
+        cdn = np.asarray(c_delta, np.float64)
+
+        H = np.zeros((D, D))
+        b = np.zeros(D)
+        Hdd = np.zeros(P)
+        bd = np.zeros(P)
+        g = np.zeros((P, D))
+
+        def add_residual(p, f, Jpdc, Jpdxi, Jpdd, JIdx, JabF, r):
+            hslot = host[p]
+            B_rel = np.zeros((4, 8))
+            B_rel[0, :6] = Jpdxi[p, f, 0]
+            B_rel[1, :6] = Jpdxi[p, f, 1]
+            B_rel[2, 6] = 1.0
+            B_rel[3, 7] = 1.0
+            C = np.concatenate([JIdx[p, f], JabF[p, f]], axis=1)
+            J_rel = C @ B_rel
+            J_abs = np.zeros((8, D))
+            J_abs[:, :CPARS] = C[:, :2] @ Jpdc[p, f]
+            J_abs[:, CPARS + 8 * hslot: CPARS + 8 * hslot + 8] += (
+                J_rel @ AHn[hslot, f].T)
+            J_abs[:, CPARS + 8 * f: CPARS + 8 * f + 8] += (
+                J_rel @ ATn[hslot, f].T)
+            J_d = C[:, :2] @ Jpdd[p, f]
+            H_ = J_abs.T @ J_abs
+            return H_, J_abs.T @ r, J_d @ J_d, J_d @ r, J_abs.T @ J_d
+
+        # active half: lin2's Jacobians + residuals
+        A2 = {k: np.asarray(getattr(lin2, k), np.float64)
+              for k in ("Jpdc", "Jpdxi", "Jpdd", "JIdx", "JabF", "resF")}
+        actn = np.asarray(act_mask)
+        for p in range(P):
+            for f in range(F):
+                if not actn[p, f]:
+                    continue
+                dH, db, dHdd, dbd, dg = add_residual(
+                    p, f, A2["Jpdc"], A2["Jpdxi"], A2["Jpdd"],
+                    A2["JIdx"], A2["JabF"], A2["resF"][p, f])
+                H += dH; b += db; Hdd[p] += dHdd; bd[p] += dbd; g[p] += dg
+
+        # linearized half: frozen Jacobians, resApprox from f64 delta algebra
+        Fz = {k: np.asarray(getattr(frozen, k), np.float64)
+              for k in ("Jpdc", "Jpdxi", "Jpdd", "JIdx", "JabF", "res_toZero")}
+        frzn = np.asarray(freeze_mask)
+        for p in range(P):
+            hslot = host[p]
+            for f in range(F):
+                if not frzn[p, f]:
+                    continue
+                dpv = dpn[hslot, f]
+                jx = Fz["Jpdxi"][p, f, 0] @ dpv[:6] + Fz["Jpdc"][p, f, 0] @ cdn
+                jy = Fz["Jpdxi"][p, f, 1] @ dpv[:6] + Fz["Jpdc"][p, f, 1] @ cdn
+                r = (Fz["res_toZero"][p, f]
+                     + Fz["JIdx"][p, f, :, 0] * jx
+                     + Fz["JIdx"][p, f, :, 1] * jy
+                     + Fz["JabF"][p, f, :, 0] * dpv[6]
+                     + Fz["JabF"][p, f, :, 1] * dpv[7])
+                dH, db, dHdd, dbd, dg = add_residual(
+                    p, f, Fz["Jpdc"], Fz["Jpdxi"], Fz["Jpdd"],
+                    Fz["JIdx"], Fz["JabF"], r)
+                H += dH; b += db; Hdd[p] += dHdd; bd[p] += dbd; g[p] += dg
+
+        scale = max(np.abs(H).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(sys.H), H, atol=3e-4 * scale)
+        np.testing.assert_allclose(np.asarray(sys.b), b,
+                                   atol=3e-4 * max(np.abs(b).max(), 1.0))
+        np.testing.assert_allclose(np.asarray(sys.Hdd), Hdd,
+                                   atol=2e-4 * max(np.abs(Hdd).max(), 1.0))
+        np.testing.assert_allclose(np.asarray(sys.bd), bd,
+                                   atol=2e-4 * max(np.abs(bd).max(), 1.0))
+        np.testing.assert_allclose(np.asarray(sys.g), g,
+                                   atol=2e-4 * max(np.abs(g).max(), 1.0))
+
+    def test_l_energy_matches_numpy(self):
+        """calcLEnergyPt parity: sum of Jdelta*(Jdelta + 2 res_toZero) over
+        linearized residuals (+ idepth prior energy, 0 here since dd == 0)."""
+        wnd, calib, cfg = make_synthetic_window()
+        _, active, AH0, AT0, _ = _lin_and_sys(wnd, calib, cfg)
+        lin0 = ba.linearize(wnd.frames, wnd.points, calib, cfg)
+        frozen = ba.fix_linearization(
+            lin0, wnd.frames, calib, wnd.points.host, active, AH0, AT0)
+
+        F = cfg.max_frames
+        st2 = wnd.frames.state + 0.002 * jax.random.normal(
+            jax.random.PRNGKey(9), (F, 8))
+        frames2 = wnd.frames._replace(state=st2.astype(jnp.float32))
+        AH, AT = ba.compute_adjoints(frames2)
+        E = float(ba.calc_l_energy(
+            frozen, frames2, calib, wnd.points.host, AH, AT,
+            jnp.zeros(cfg.max_points)))
+
+        dp, c_delta = ba.pair_deltas(frames2, calib, AH, AT)
+        dpn = np.asarray(dp, np.float64)
+        cdn = np.asarray(c_delta, np.float64)
+        host = np.asarray(wnd.points.host)
+        Fz = {k: np.asarray(getattr(frozen, k), np.float64)
+              for k in ("Jpdc", "Jpdxi", "JIdx", "JabF", "res_toZero")}
+        msk = np.asarray(active)
+        E_ref = 0.0
+        for p in range(cfg.max_points):
+            hs = host[p]
+            for f in range(F):
+                if not msk[p, f]:
+                    continue
+                dpv = dpn[hs, f]
+                jx = Fz["Jpdxi"][p, f, 0] @ dpv[:6] + Fz["Jpdc"][p, f, 0] @ cdn
+                jy = Fz["Jpdxi"][p, f, 1] @ dpv[:6] + Fz["Jpdc"][p, f, 1] @ cdn
+                jd = (Fz["JIdx"][p, f, :, 0] * jx
+                      + Fz["JIdx"][p, f, :, 1] * jy
+                      + Fz["JabF"][p, f, :, 0] * dpv[6]
+                      + Fz["JabF"][p, f, :, 1] * dpv[7])
+                E_ref += float(jd @ (jd + 2.0 * Fz["res_toZero"][p, f]))
+        np.testing.assert_allclose(E, E_ref, rtol=2e-2,
+                                   atol=1e-3 * max(abs(E_ref), 1.0))
+
+    def test_m_energy_matches_numpy(self):
+        D = 20
+        rng = np.random.RandomState(3)
+        A = rng.randn(D, D)
+        HM = jnp.asarray(A @ A.T, jnp.float32)
+        bM = jnp.asarray(rng.randn(D), jnp.float32)
+        delta = jnp.asarray(0.01 * rng.randn(D), jnp.float32)
+        E = float(ba.calc_m_energy(HM, bM, delta))
+        d = np.asarray(delta, np.float64)
+        E_ref = d @ (2 * np.asarray(bM, np.float64)
+                     + np.asarray(HM, np.float64) @ d)
+        np.testing.assert_allclose(E, E_ref, rtol=1e-4, atol=1e-6)
+
+    def test_ba_optimize_accepts_frozen_set(self):
+        """Smoke: ba_optimize with a frozen residual set runs, stays finite,
+        and the frozen information changes the solution (the frozen half
+        anchors the window against the perturbation)."""
+        from hslam_tpu.models.optimizer import ba_optimize
+
+        wnd, calib, cfg, _ = make_rendered_window()
+        lin0, active0, AH0, AT0, _ = _lin_and_sys(wnd, calib, cfg)
+        pidx = jnp.arange(cfg.max_points)
+        freeze_mask = active0 & ((pidx % 2 == 0)[:, None])
+        frozen = ba.fix_linearization(
+            lin0, wnd.frames, calib, wnd.points.host, freeze_mask, AH0, AT0)
+
+        pert = 0.02 * np.random.RandomState(11).randn(cfg.max_frames, 8)
+        pert[0] = 0
+        wnd_p = wnd._replace(frames=wnd.frames._replace(
+            state=jnp.asarray(pert, jnp.float32)))
+
+        out_plain = ba_optimize(wnd_p, calib, cfg, 3)
+        out_frozen = ba_optimize(wnd_p, calib, cfg, 3, frozen=frozen)
+        assert np.isfinite(float(out_plain.rmse))
+        assert np.isfinite(float(out_frozen.rmse))
+        d = np.abs(np.asarray(out_plain.window.frames.state)
+                   - np.asarray(out_frozen.window.frames.state)).max()
+        assert d > 1e-7, "frozen residuals should alter the solution"
+
+
 class TestWindowGather:
     def test_window_path_matches_packed_path(self):
         """linearize() via the 12x12 window-table gather == the per-tap
@@ -443,8 +661,6 @@ class TestWindowGather:
         for name in ("resF", "JIdx", "JabF", "energy"):
             a = np.asarray(getattr(lin_p, name))
             b = np.asarray(getattr(lin_w, name))
-            sel = keep if a.ndim == 2 else keep[..., None].repeat(
-                a.shape[2], axis=2) if a.ndim == 3 else keep[..., None, None]
             np.testing.assert_allclose(
                 a[keep], b[keep], rtol=1e-4, atol=1e-3,
                 err_msg=f"window-path mismatch in {name}")
