@@ -16,6 +16,9 @@ polish of the reference, :1330-2314, is planned as a follow-up stage).
 from __future__ import annotations
 
 import dataclasses
+import threading
+import time as _time
+from collections import deque
 from functools import partial
 from typing import List, Optional
 
@@ -86,11 +89,30 @@ class SLAMSystem:
     jit-compiled device kernels."""
 
     def __init__(self, fx, fy, cx, cy, width, height, cfg: Config = Config(),
-                 enable_loop_closure: bool = False):
+                 enable_loop_closure: bool = False, sequential: bool = True,
+                 online_photo_calib: bool = False, photo_calib_every: int = 8):
         self.cfg = cfg
         self.calib = make_calib(fx, fy, cx, cy, width, height)
         self.width, self.height = width, height
         self.enable_loop_closure = enable_loop_closure
+
+        # --- online photometric calibration (the declared OnlineCalibrator
+        # capability: Include/OnlineCalibrator.h:13-67 [stub in reference],
+        # applied through the UpdateGamma hook semantics,
+        # photometricUndistorter.cpp:175-200 + Frame.cpp:158-164).
+        # When enabled, process_frame expects RAW (uncorrected) intensities;
+        # the estimated inverse response + inverse vignette are applied
+        # on-device before the pyramid build, and the response derivative
+        # re-weights the gradient maps. The whole calibration chain runs on
+        # device with zero host syncs.
+        self.online_photo_calib = online_photo_calib
+        self.photo_calib_every = photo_calib_every
+        self._pc_ring: deque = deque(maxlen=photo_calib_every)
+        self._pc_params = None           # device PhotoParams after first fit
+        self._pc_rms = None              # device scalar, pulled lazily
+        self._inv_response = None        # (256,) device LUT
+        self._inv_vignette = None        # (H, W) device map
+        self._grad_weight = None         # (256,) device B' weights
         self.loop_closer = None          # built lazily once a vocab exists
         self._vocab_descs: list = []     # descriptor pool for training
         self._pending_entries: list = []  # KF entries awaiting the vocab
@@ -116,6 +138,7 @@ class SLAMSystem:
         self.connectivity: dict = {}
 
         # tracker reference state (host mirrors)
+        self._newest_template: Optional[trk_ops.Template] = None
         self.template: Optional[trk_ops.Template] = None
         self.ref_slot = -1
         self.ref_shell_id = -1
@@ -124,6 +147,33 @@ class SLAMSystem:
 
         # initializer state
         self._init_first = None   # dict with pyramid, points, colors...
+
+        # --- async tracking/mapping pipeline (Mapping.cpp:144-214,
+        # System.cpp:191-212). sequential=True mirrors the reference's
+        # SequentialOperation default (Settings.cpp:42); sequential=False
+        # runs AddKeyframe/ProcessNonKeyframe on a mapping thread with the
+        # double-buffered tracker-reference swap of System.cpp:127-133.
+        self.sequential = sequential
+        self._pending_ref = None        # (template, slot, shell_id, aff, exp)
+        self._ref_lock = threading.Lock()
+        self._shell_lock = threading.Lock()
+        self._map_exc: Optional[BaseException] = None
+        self.n_frames_skipped = 0       # non-KF frames dropped in catch-up
+        # lag-1 pipelined-tracking frontier (process_frame_pipelined)
+        self._pipe: deque = deque()
+        self._frontier_frames = 0
+        self._dev_prev = jnp.eye(4, dtype=jnp.float32)
+        self._dev_prevprev = jnp.eye(4, dtype=jnp.float32)
+        self._dev_aff = jnp.zeros(2, jnp.float32)
+        self.kf_latencies: deque = deque(maxlen=200)
+        if not sequential:
+            self._queue: deque = deque()
+            self._qcond = threading.Condition()
+            self._map_stop = False
+            self._map_busy = False
+            self._map_thread = threading.Thread(
+                target=self._mapping_loop, daemon=True)
+            self._map_thread.start()
 
         self._build_jit()
 
@@ -138,8 +188,69 @@ class SLAMSystem:
             return pyr, grads
 
         self._prep = prep
+
+        @jax.jit
+        def prep_calibrated(raw, inv_resp, inv_vig, grad_w):
+            """Photometric correction fused into the pyramid build
+            (photometricUndistorter.cpp:121-146 + Frame.cpp:158-164)."""
+            from ..ops.undistort import photometric_correct
+            img = photometric_correct(raw, inv_resp, inv_vig)
+            return build_direct_pyramid(img, n_lvl, gamma_grad_weight=grad_w)
+
+        self._prep_calibrated = prep_calibrated
+
+        @jax.jit
+        def pc_sample(u, v, idepth, valid, K4, R_rel, t_rel, raws):
+            """Sample RAW intensities of the template points warped into
+            each ring frame: returns obs (P, F), r2 (P, F), mask (P, F)."""
+            fx, fy, cx, cy = K4[0], K4[1], K4[2], K4[3]
+            Hh, Ww = raws.shape[1], raws.shape[2]
+            px = (u - cx) / fx
+            py = (v - cy) / fy
+            dirs = jnp.stack([px, py, jnp.ones_like(px)], -1)     # (P, 3)
+            p3 = (jnp.einsum("fij,pj->fpi", R_rel, dirs)
+                  + t_rel[:, None, :] * idepth[None, :, None])    # (F, P, 3)
+            z = jnp.where(jnp.abs(p3[..., 2]) < 1e-9, 1e-9, p3[..., 2])
+            uu = fx * p3[..., 0] / z + cx
+            vv = fy * p3[..., 1] / z + cy
+            inb = ((z > 0) & (uu > 1) & (vv > 1)
+                   & (uu < Ww - 2) & (vv < Hh - 2))
+            obs = jax.vmap(bilinear)(raws, uu, vv)                # (F, P)
+            ccx, ccy = (Ww - 1) / 2.0, (Hh - 1) / 2.0
+            r2 = (((uu - ccx) ** 2 + (vv - ccy) ** 2)
+                  / (ccx * ccx + ccy * ccy))
+            mask = inb & valid[None, :] & jnp.isfinite(obs)
+            return obs.T, r2.T, mask.T
+
+        self._pc_sample = pc_sample
+
+        @jax.jit
+        def pc_fit(obs, r2, mask):
+            """Joint response/vignette/exposure GN + LUT derivation, all
+            on device (models/photo_calib.py)."""
+            from ..models import photo_calib as PC
+            from ..ops.undistort import invert_response, response_grad_weight
+            params = PC.init_params(obs.shape[1])
+            params, rms = PC.calibrate(params, obs,
+                                       jnp.arange(obs.shape[1]), r2, mask)
+            lut = PC.gamma_lut(params)
+            inv_resp = invert_response(lut)
+            grad_w = response_grad_weight(lut)
+            inv_vig = 1.0 / PC.vignette_map(params, self.height, self.width)
+            return params, rms, inv_resp, grad_w, inv_vig
+
+        self._pc_fit = pc_fit
+
+        from ..ops.undistort import photometric_correct
+        self._correct_img = jax.jit(photometric_correct)
         self._track = jax.jit(
             partial(trk_ops.track_coarse, cfg=cfg, coarsest_lvl=n_lvl - 1)
+        )
+        self._track_multi = jax.jit(
+            partial(trk_ops.track_coarse_multi, cfg=cfg, coarsest_lvl=n_lvl - 1)
+        )
+        self._track_step = jax.jit(
+            partial(trk_ops.track_step, cfg=cfg, n_levels=n_lvl)
         )
         self._ba = jax.jit(
             lambda wnd, calib, n: ba_optimize(wnd, calib, cfg, n),
@@ -207,11 +318,16 @@ class SLAMSystem:
     # ------------------------------------------------------------ main entry
     def process_frame(self, image: np.ndarray, timestamp: float,
                       exposure: float = 1.0):
-        """ProcessNewFrame (System.cpp:104-247). `image` is the corrected
-        (photometric+geometric) grayscale frame."""
+        """ProcessNewFrame (System.cpp:104-247). `image` is the
+        geometrically-corrected grayscale frame; photometrically corrected
+        too unless online_photo_calib is on (then RAW intensities)."""
         cfg = self.cfg
-        img = jnp.asarray(image, jnp.float32)
-        pyr, grads = self._prep(img)
+        raw = jnp.asarray(image, jnp.float32)
+        if self.online_photo_calib and self._inv_response is not None:
+            pyr, grads = self._prep_calibrated(
+                raw, self._inv_response, self._inv_vignette, self._grad_weight)
+        else:
+            pyr, grads = self._prep(raw)
 
         shell = Shell(
             id=self.frame_count, timestamp=timestamp, exposure=exposure,
@@ -221,9 +337,22 @@ class SLAMSystem:
         self.frame_count += 1
         self.shells.append(shell)
 
+        if self._map_exc is not None:
+            exc, self._map_exc = self._map_exc, None
+            raise exc
+
         if not self.initialized:
             self._try_initialize(shell, pyr, grads)
             return shell
+
+        # --- adopt a freshly published tracker reference (the
+        # coarseTracker <-> coarseTracker_forNewKF swap, System.cpp:127-133)
+        with self._ref_lock:
+            if self._pending_ref is not None:
+                (self.template, self.ref_slot, self.ref_shell_id,
+                 self.ref_aff, self.ref_exposure) = self._pending_ref
+                self._pending_ref = None
+                self.first_coarse_rmse = -1.0
 
         # --- track against the reference keyframe template
         ok = self._track_new_coarse(shell, pyr)
@@ -231,14 +360,242 @@ class SLAMSystem:
             self.is_lost = True
             return shell
 
+        # --- online photometric calibration observation + periodic refit
+        if self.online_photo_calib:
+            self._pc_ring.append((shell.id, raw))
+            if (len(self._pc_ring) == self._pc_ring.maxlen
+                    and shell.id % self.photo_calib_every == 0):
+                self._photo_calib_step()
+
         # --- keyframe decision (System.cpp:159-177)
         need_kf = self._need_keyframe(shell)
 
-        if need_kf:
-            self._add_keyframe(shell, pyr, grads)
+        if self.sequential:
+            if need_kf:
+                self._add_keyframe(shell, pyr, grads)
+            else:
+                self._process_non_kf(shell, pyr)
         else:
-            self._process_non_kf(shell, pyr)
+            with self._qcond:
+                self._queue.append((shell, pyr, grads, need_kf))
+                self._qcond.notify_all()
         return shell
+
+    # ---------------------------------------------------- pipelined entry
+    def process_frame_pipelined(self, image: np.ndarray, timestamp: float,
+                                exposure: float = 1.0) -> Optional[Shell]:
+        """Lag-1 pipelined ProcessNewFrame: dispatch this frame's fused
+        tracking step (pyramid + device-side motion hypotheses + batched
+        scoring + coarse-to-fine LM, ops/tracker.track_step) WITHOUT
+        blocking, then pull and finalize the PREVIOUS frame's result — so
+        the host round-trip for frame k-1 overlaps frame k's device
+        compute. Returns the newly COMPLETED shell (frame k-1), or None.
+
+        Call flush_pipeline() + finish() at end of sequence. Requires
+        sequential=False (the mapping thread consumes KF work)."""
+        if self._map_exc is not None:
+            exc, self._map_exc = self._map_exc, None
+            raise exc
+        cfg = self.cfg
+        shell = Shell(
+            id=self.frame_count, timestamp=timestamp, exposure=exposure,
+            cam_to_world=np.eye(4), tracking_ref=None, cam_to_ref=np.eye(4),
+            aff=np.zeros(2),
+        )
+        self.frame_count += 1
+        self.shells.append(shell)
+
+        if not self.initialized:
+            self.flush_pipeline()
+            img = jnp.asarray(image, jnp.float32)
+            if self.online_photo_calib and self._inv_response is not None:
+                pyr, grads = self._prep_calibrated(
+                    img, self._inv_response, self._inv_vignette,
+                    self._grad_weight)
+            else:
+                pyr, grads = self._prep(img)
+            self._try_initialize(shell, pyr, grads)
+            if self.initialized:
+                # seed the device frontier at the second init keyframe
+                self._frontier_frames = 0
+                self._dev_prev = jnp.asarray(shell.cam_to_world, jnp.float32)
+                self._dev_prevprev = self._dev_prev
+                self._dev_aff = jnp.asarray(shell.aff, jnp.float32)
+            return None
+
+        # adopt a freshly published tracker reference (System.cpp:127-133)
+        with self._ref_lock:
+            if self._pending_ref is not None:
+                (self.template, self.ref_slot, self.ref_shell_id,
+                 self.ref_aff, self.ref_exposure) = self._pending_ref
+                self._pending_ref = None
+                self.first_coarse_rmse = -1.0
+
+        with self._shell_lock:
+            ref_c2w = self.shells[self.ref_shell_id].cam_to_world.copy()
+        K_pyr = jnp.stack([level_intrinsics(self.calib, l)
+                           for l in range(cfg.pyr_levels)])
+        shell.tracking_ref = self.ref_shell_id
+        raw = jnp.asarray(image, jnp.float32)
+        img_dev = raw
+        if self.online_photo_calib and self._inv_response is not None:
+            # correction-only dispatch; the track_step pyramid then sees
+            # corrected intensities (gradient gamma-reweighting is applied
+            # on the sequential path only)
+            img_dev = self._correct_img(raw, self._inv_response,
+                                        self._inv_vignette)
+        out = self._track_step(
+            self.template, img_dev, K_pyr,
+            jnp.asarray(ref_c2w, jnp.float32),
+            self._dev_prev, self._dev_prevprev,
+            jnp.bool_(self._frontier_frames >= 2),
+            self._dev_aff,
+            jnp.float32(self.ref_exposure), jnp.float32(shell.exposure),
+            jnp.asarray(self.ref_aff, jnp.float32),
+        )
+        self._pipe.append((shell, out, raw))
+        self._dev_prevprev = self._dev_prev
+        self._dev_prev = out.c2w
+        self._dev_aff = out.aff
+        self._frontier_frames += 1
+
+        if len(self._pipe) >= 2:
+            return self._complete_tracked(*self._pipe.popleft())
+        return None
+
+    def flush_pipeline(self):
+        """Complete all in-flight pipelined frames."""
+        out = None
+        while getattr(self, "_pipe", None):
+            out = self._complete_tracked(*self._pipe.popleft())
+        return out
+
+    def _photo_calib_step(self):
+        """One online-calibration refit: warp the tracker template into the
+        ring frames, sample their RAW intensities, jointly fit response /
+        vignette / exposure, and refresh the correction LUTs — entirely on
+        device (UpdateGamma semantics, photometricUndistorter.cpp:175-200;
+        capability per Include/OnlineCalibrator.h:13-67)."""
+        if self.template is None:
+            return
+        tpl = self.template
+        with self._shell_lock:
+            ref_c2w = self.shells[self.ref_shell_id].cam_to_world.copy()
+            rels = []
+            for sid, _ in self._pc_ring:
+                T = np.linalg.inv(self.shells[sid].cam_to_world) @ ref_c2w
+                rels.append(T)
+        rels = np.stack(rels)
+        raws = jnp.stack([r for _, r in self._pc_ring])
+        K4 = jnp.asarray([self.calib.value[i] for i in range(4)])
+        obs, r2, mask = self._pc_sample(
+            tpl.u[0], tpl.v[0], tpl.idepth[0], tpl.valid[0], K4,
+            jnp.asarray(rels[:, :3, :3], jnp.float32),
+            jnp.asarray(rels[:, :3, 3], jnp.float32), raws,
+        )
+        (self._pc_params, self._pc_rms, self._inv_response,
+         self._grad_weight, self._inv_vignette) = self._pc_fit(obs, r2, mask)
+
+    def _complete_tracked(self, shell: Shell, out, raw=None) -> Shell:
+        """Finalize one pipelined frame: pull the track result (one host
+        round-trip), publish the shell pose, decide keyframe, and hand the
+        frame to the mapping thread."""
+        cfg = self.cfg
+        R_h, t_h, aff_h, ok_h, res_h, flow_h = jax.device_get(
+            (out.R, out.t, out.aff, out.ok, out.residuals, out.flow))
+        ok = bool(ok_h) and np.isfinite(res_h[0]) and np.all(np.isfinite(t_h))
+        if ok:
+            self.last_coarse_rmse = np.where(
+                np.isnan(res_h), 100.0, np.minimum(res_h, 1e9))
+            if self.first_coarse_rmse < 0:
+                self.first_coarse_rmse = float(res_h[0])
+            T_best = _se3_np(R_h, t_h)
+            shell.cam_to_ref = np.linalg.inv(T_best)
+            with self._shell_lock:
+                shell.cam_to_world = (
+                    self.shells[shell.tracking_ref].cam_to_world
+                    @ shell.cam_to_ref
+                )
+            shell.aff = np.asarray(aff_h, np.float64)
+            self._last_flow = np.asarray(flow_h)
+        else:
+            # rare: batched winner rejected — serial fallback on this
+            # frame's pyramid; the frontier re-seeds from its outcome
+            K_pyr = jnp.stack([level_intrinsics(self.calib, l)
+                               for l in range(cfg.pyr_levels)])
+            tries, aff_init = self._motion_hypotheses(anchor=shell.id)
+            ok = self._track_serial(shell, out.pyr, tries, aff_init, K_pyr)
+            self._frontier_frames = 0
+            self._dev_prev = jnp.asarray(shell.cam_to_world, jnp.float32)
+            self._dev_prevprev = self._dev_prev
+            self._dev_aff = jnp.asarray(shell.aff, jnp.float32)
+            if not ok:
+                self.is_lost = True
+                return shell
+
+        if self.online_photo_calib and raw is not None:
+            self._pc_ring.append((shell.id, raw))
+            if (len(self._pc_ring) == self._pc_ring.maxlen
+                    and shell.id % self.photo_calib_every == 0):
+                self._photo_calib_step()
+
+        need_kf = self._need_keyframe(shell)
+        with self._qcond:
+            self._queue.append((shell, out.pyr, out.grads, need_kf))
+            self._qcond.notify_all()
+        return shell
+
+    # ------------------------------------------------------ mapping thread
+    def _mapping_loop(self):
+        """Consumer loop over the tracked-frame queue (Mapping.cpp:144-214):
+        keyframes always get the full AddKeyframe treatment; non-KF frames
+        are traced unless the queue is >3 behind (catch-up mode,
+        Mapping.cpp:169-190, which drops their trace work)."""
+        while True:
+            with self._qcond:
+                while not self._queue and not self._map_stop:
+                    self._qcond.wait()
+                if self._map_stop and not self._queue:
+                    return
+                shell, pyr, grads, need_kf = self._queue.popleft()
+                behind = len(self._queue)
+                self._map_busy = True
+            try:
+                if need_kf:
+                    t_kf = _time.perf_counter()
+                    self._add_keyframe(shell, pyr, grads)
+                    self.kf_latencies.append(_time.perf_counter() - t_kf)
+                elif behind <= 3:
+                    self._process_non_kf(shell, pyr)
+                else:
+                    self.n_frames_skipped += 1
+            except BaseException as e:   # surfaced on the tracking thread
+                self._map_exc = e
+            finally:
+                with self._qcond:
+                    self._map_busy = False
+                    self._qcond.notify_all()
+
+    def finish(self):
+        """BlockUntilMappingIsFinished (Mapping.cpp:216-224): drain the
+        mapping queue. No-op in sequential mode."""
+        if self.sequential:
+            return
+        with self._qcond:
+            while self._queue or self._map_busy:
+                self._qcond.wait()
+        if self._map_exc is not None:
+            exc, self._map_exc = self._map_exc, None
+            raise exc
+
+    def close(self):
+        """Stop the mapping thread (after finish())."""
+        if self.sequential:
+            return
+        with self._qcond:
+            self._map_stop = True
+            self._qcond.notify_all()
+        self._map_thread.join(timeout=30)
 
     # ------------------------------------------------------------ bootstrap
     def _try_initialize(self, shell: Shell, pyr, grads):
@@ -371,17 +728,22 @@ class SLAMSystem:
         self._add_keyframe(shell, pyr, grads)
 
     # ------------------------------------------------------------- tracking
-    def _track_new_coarse(self, shell: Shell, pyr) -> bool:
-        """trackNewCoarse (System.cpp:333-500): motion hypotheses tried
-        serially on the compiled tracker with the achievedRes early-exit."""
-        cfg = self.cfg
-        ref_shell = self.shells[self.ref_shell_id]
+    MAX_HYP = 32   # fixed hypothesis batch (31 reference tries + identity pad)
 
-        # hypothesis list (System.cpp:347-405)
+    def _motion_hypotheses(self, anchor: Optional[int] = None):
+        """Hypothesis list (System.cpp:347-405) + the initial affine guess.
+        Shell poses are read under the shell lock (System.cpp:355-362).
+        `anchor` is the id of the frame being tracked (defaults to the
+        newest shell) — in pipelined mode later shells are still in flight
+        and must not feed the motion model."""
+        self._shell_lock.acquire()
+        ref_shell = self.shells[self.ref_shell_id]
+        if anchor is None:
+            anchor = len(self.shells) - 1
         tries = []
-        if len(self.shells) >= 3 and self.shells[-2].pose_valid:
-            slast = self.shells[-2]
-            sprelast = self.shells[-3]
+        if anchor >= 2 and self.shells[anchor - 1].pose_valid:
+            slast = self.shells[anchor - 1]
+            sprelast = self.shells[anchor - 2]
             T_sp = np.linalg.inv(sprelast.cam_to_world) @ slast.cam_to_world
             T_ls = np.linalg.inv(slast.cam_to_world) @ ref_shell.cam_to_world
             fh2slast = T_sp  # constant motion assumption
@@ -413,13 +775,59 @@ class SLAMSystem:
                     lie.quat_to_rot(jnp.asarray([q[1], q[2], q[3], q[0]]))
                 )
                 tries.append(base @ pert)
-            aff_init = self.shells[-2].aff.copy()
+            aff_init = self.shells[anchor - 1].aff.copy()
         else:
             tries.append(np.eye(4))
             aff_init = np.zeros(2)
+        self._shell_lock.release()
+        return tries, aff_init
+
+    def _track_new_coarse(self, shell: Shell, pyr) -> bool:
+        """trackNewCoarse (System.cpp:333-500). Default path: all motion
+        hypotheses scored at the coarsest level in ONE batched dispatch,
+        argmin refined coarse-to-fine in the same call
+        (ops/tracker.track_coarse_multi); the reference's serial try-loop
+        with achievedRes early-exit remains as the fallback when the
+        batched winner is rejected."""
+        cfg = self.cfg
+        tries, aff_init = self._motion_hypotheses()
 
         K_pyr = jnp.stack([level_intrinsics(self.calib, l)
                            for l in range(cfg.pyr_levels)])
+
+        # --- batched path: one dispatch, one host pull
+        n = min(len(tries), self.MAX_HYP)
+        T_all = np.stack(tries[:n] + [tries[0]] * (self.MAX_HYP - n))
+        res, _best_idx = self._track_multi(
+            self.template, pyr, K_pyr,
+            jnp.asarray(T_all[:, :3, :3], jnp.float32),
+            jnp.asarray(T_all[:, :3, 3], jnp.float32),
+            jnp.asarray(aff_init, jnp.float32),
+            jnp.float32(self.ref_exposure), jnp.float32(shell.exposure),
+            jnp.asarray(self.ref_aff, jnp.float32),
+        )
+        R_h, t_h, aff_h, ok_h, res_h, flow_h = jax.device_get(
+            (res.R, res.t, res.aff, res.ok, res.residuals, res.flow))
+        if bool(ok_h) and np.isfinite(res_h[0]):
+            self.last_coarse_rmse = np.where(
+                np.isnan(res_h), 100.0, np.minimum(res_h, 1e9))
+            if self.first_coarse_rmse < 0:
+                self.first_coarse_rmse = float(res_h[0])
+            T_best = _se3_np(R_h, t_h)
+            shell.cam_to_ref = np.linalg.inv(T_best)
+            shell.tracking_ref = self.ref_shell_id
+            shell.cam_to_world = (
+                self.shells[self.ref_shell_id].cam_to_world @ shell.cam_to_ref
+            )
+            shell.aff = np.asarray(aff_h, np.float64)
+            self._last_flow = np.asarray(flow_h)
+            return bool(np.all(np.isfinite(t_h)))
+        return self._track_serial(shell, pyr, tries, aff_init, K_pyr)
+
+    def _track_serial(self, shell: Shell, pyr, tries, aff_init, K_pyr) -> bool:
+        """Fallback: the reference's serial try-loop with achievedRes
+        early-exit (System.cpp:428-481), then relocalization."""
+        cfg = self.cfg
         achieved = np.full(cfg.pyr_levels, np.nan)
         best = None
         have_good = False
@@ -490,14 +898,17 @@ class SLAMSystem:
         return np.all(np.isfinite(np.asarray(best.t)))
 
     def _lift_keypoint_depths(self, u, v, radius_px: float = 3.0):
-        """Nearest-template-point inverse depth for keypoints (host side)."""
-        if self.template is None:
+        """Nearest-template-point inverse depth for keypoints (host side).
+        Uses the mapping thread's newest template (the one just built for
+        the current KF), falling back to the tracking reference."""
+        tpl = getattr(self, "_newest_template", None) or self.template
+        if tpl is None:
             n = np.asarray(u).shape[0]
             return np.zeros(n, np.float32), np.zeros(n, bool)
-        tu = np.asarray(self.template.u[0])
-        tv = np.asarray(self.template.v[0])
-        tid = np.asarray(self.template.idepth[0])
-        tval = np.asarray(self.template.valid[0])
+        tu = np.asarray(tpl.u[0])
+        tv = np.asarray(tpl.v[0])
+        tid = np.asarray(tpl.idepth[0])
+        tval = np.asarray(tpl.valid[0])
         un, vn = np.asarray(u), np.asarray(v)
         d2 = (un[:, None] - tu[None, :]) ** 2 + (vn[:, None] - tv[None, :]) ** 2
         d2[:, ~tval] = 1e12
@@ -647,9 +1058,13 @@ class SLAMSystem:
         shell.kf_id = self.next_kf_id
         self.next_kf_id += 1
         if shell.tracking_ref is not None:
-            shell.cam_to_world = (
-                self.shells[shell.tracking_ref].cam_to_world @ shell.cam_to_ref
-            )
+            # final pose from the (possibly BA-updated) tracking ref,
+            # under the shell lock (Mapping.cpp:14-21)
+            with self._shell_lock:
+                shell.cam_to_world = (
+                    self.shells[shell.tracking_ref].cam_to_world
+                    @ shell.cam_to_ref
+                )
 
         # 1. trace candidates into this frame
         if self.next_kf_id > 1:
@@ -867,11 +1282,15 @@ class SLAMSystem:
             ):
                 flagged.append(s)
 
-        # distance-score: keep window <= max frames
-        # (reference checks the pre-insertion count, FullSystemMarginalize.cpp:70)
-        if len(slots) - len(flagged) >= cfg.max_kf_frames:
-            R_f, t_f = W.frame_poses(frames)
-            T = np.asarray(t_f)
+        # distance-score: keep window <= max frames, flagging repeatedly
+        # until the post-insertion window fits the slot capacity
+        # (reference checks the pre-insertion count, FullSystemMarginalize.cpp:70;
+        # the loop guard also covers async KF bursts where several keyframes
+        # are inserted before the tracker reference catches up)
+        cap = min(cfg.max_kf_frames, cfg.max_frames - 1)
+        R_f, t_f = W.frame_poses(frames)
+        T = np.asarray(t_f)
+        while len(slots) - len(flagged) >= cap:
             newest_kf = kf_ids[slots].max()
             best_score, best_slot = 1.0, None
             latest_slot = slots[int(np.argmax(kf_ids[slots]))]
@@ -887,8 +1306,9 @@ class SLAMSystem:
                 dist_score *= -np.sqrt(np.linalg.norm(T[s] - T[latest_slot]))
                 if dist_score < best_score:
                     best_score, best_slot = dist_score, s
-            if best_slot is not None:
-                flagged.append(best_slot)
+            if best_slot is None:
+                break
+            flagged.append(best_slot)
         return flagged
 
     def _activate_points(self, new_slot: int):
@@ -1054,17 +1474,21 @@ class SLAMSystem:
         aff = np.asarray(W.frame_affine(frames))
         R_np, t_np = np.asarray(R_f), np.asarray(t_f)
         valid = np.asarray(frames.valid)
-        for s in range(self.cfg.max_frames):
-            if not valid[s] or self.slot_shell[s] is None:
-                continue
-            sh = self.shells[self.slot_shell[s]]
-            Twc = _se3_np(R_np[s], t_np[s])
-            sh.cam_to_world = np.linalg.inv(Twc)
-            sh.aff = aff[s].copy()
+        with self._shell_lock:   # shellPoseMutex (FullSystemOptimize.cpp:530)
+            for s in range(self.cfg.max_frames):
+                if not valid[s] or self.slot_shell[s] is None:
+                    continue
+                sh = self.shells[self.slot_shell[s]]
+                Twc = _se3_np(R_np[s], t_np[s])
+                sh.cam_to_world = np.linalg.inv(Twc)
+                sh.aff = aff[s].copy()
 
     def _set_tracking_ref(self, slot: int, shell: Shell, result: BAResult):
         """setCoarseTrackingRef + makeCoarseDepthL0 (CoarseTracker.cpp:
-        492-504, 105-263), fed by the BA's projections into the newest KF."""
+        492-504, 105-263), fed by the BA's projections into the newest KF.
+        In async mode the new template is published to the double buffer
+        (coarseTracker_forNewKF, Mapping.cpp:93-100) and adopted by the
+        tracking thread at its next frame."""
         pts = self.window.points
         weight = jnp.sqrt(1e-3 / (result.HdiF + 1e-12))
         valid = result.newest_res_in & (pts.status == W.PT_ACTIVE)
@@ -1072,15 +1496,21 @@ class SLAMSystem:
         img = frames.images[slot]
         # rebuild pyramid of the ref image for the template
         pyr, _ = self._prep(img[..., 0])
-        self.template = self._build_template(
+        tpl = self._build_template(
             result.newest_proj_u, result.newest_proj_v,
             result.newest_proj_idepth, weight, valid, pyr,
         )
-        self.ref_slot = slot
-        self.ref_shell_id = shell.id
-        self.ref_aff = np.asarray(shell.aff, np.float64).copy()
-        self.ref_exposure = shell.exposure or 1.0
-        self.first_coarse_rmse = -1.0
+        self._newest_template = tpl   # mapping-side view (loop closure)
+        ref = (tpl, slot, shell.id,
+               np.asarray(shell.aff, np.float64).copy(),
+               shell.exposure or 1.0)
+        if self.sequential:
+            (self.template, self.ref_slot, self.ref_shell_id,
+             self.ref_aff, self.ref_exposure) = ref
+            self.first_coarse_rmse = -1.0
+        else:
+            with self._ref_lock:
+                self._pending_ref = ref
 
     def _flag_and_marg_points(self, flagged_frames: List[int]):
         """flagPointsForRemoval + marginalizePointsF (Mapping.cpp:249-328)."""
@@ -1217,6 +1647,9 @@ class SLAMSystem:
         self.slot_shell = [None] * cfg.max_frames
         self.next_kf_id = 0
         self.template = None
+        self._newest_template = None
+        with self._ref_lock:
+            self._pending_ref = None
         self.ref_slot = -1
         self.first_coarse_rmse = -1.0
         self.last_coarse_rmse = np.full(5, 100.0)

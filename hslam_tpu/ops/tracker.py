@@ -462,3 +462,233 @@ def track_coarse(
         R=R, t=t, aff=aff, ok=ok,
         residuals=jnp.stack(level_res), flow=flow,
     )
+
+
+def score_hypotheses(
+    template: Template,
+    coarse_img: jnp.ndarray,        # coarsest-level (H, W, 3) [I, dx, dy]
+    K_lvl: jnp.ndarray,             # (4,) coarsest-level intrinsics
+    lvl: int,                       # coarsest level index (template select)
+    R_b: jnp.ndarray,               # (N, 3, 3) hypothesis rotations
+    t_b: jnp.ndarray,               # (N, 3)
+    aff0: jnp.ndarray,
+    exp_ref: jnp.ndarray,
+    exp_new: jnp.ndarray,
+    aff_ref: jnp.ndarray,
+    cfg: Config,
+    n_iters: int = 10,
+) -> jnp.ndarray:
+    """Score all N motion hypotheses with a fixed-iteration GN at the
+    coarsest pyramid level in ONE batched pass (SURVEY §7.2 step 4).
+
+    The reference tries its ~27 hypotheses serially with an early-out
+    (System.cpp:367-405); on TPU each serial try costs a dispatch
+    round-trip, so we evaluate them all at once and let the caller refine
+    only the argmin. Returns per-hypothesis mean energy (E/n), inf-filled
+    for diverged hypotheses.
+    """
+    from ..utils.interp import pack_cells
+
+    packed = jnp.stack([pack_cells(coarse_img[..., c]) for c in range(3)], axis=2)
+    tmpl_u = template.u[lvl]
+    tmpl_v = template.v[lvl]
+    tmpl_id = template.idepth[lvl]
+    tmpl_c = template.color[lvl]
+    tmpl_valid = template.valid[lvl]
+    huber = jnp.float32(cfg.huber_th)
+    cutoff = jnp.float32(cfg.coarse_cutoff_th)
+    b0_ref = aff_ref[1]
+
+    def score_one(R0, t0):
+        a_rel, b_rel = rel_affine(exp_ref, exp_new, aff_ref, aff0)
+
+        def res_at(R_, t_, aff_):
+            a_r, b_r = rel_affine(exp_ref, exp_new, aff_ref, aff_)
+            return _residual_pass(
+                tmpl_u, tmpl_v, tmpl_id, tmpl_c, tmpl_valid, packed, K_lvl,
+                R_, t_, a_r, b_r, b0_ref, cutoff, huber, False,
+            )
+
+        E0, n0, _, H0, b0v, *_ = res_at(R0, t0, aff0)
+
+        def body(_, carry):
+            R_c, t_c, aff_c, Hc, bc, Ec, nc, lam = carry
+            Hl_ = Hc + jnp.diag(jnp.diag(Hc)) * lam
+            inc = jnp.linalg.solve(Hl_, -bc)
+            inc = jnp.where(jnp.isfinite(jnp.sum(inc)), inc, 0.0)
+            dR, dt = lie.se3_exp(inc[:6])
+            R_n, t_n = lie.se3_mul(dR, dt, R_c, t_c)
+            aff_n = aff_c + inc[6:8]
+            E_n, n_n, _, H_n, b_n, *_ = res_at(R_n, t_n, aff_n)
+            accept = (E_n / jnp.maximum(n_n, 1.0)) < (Ec / jnp.maximum(nc, 1.0))
+            sel = lambda a, b: jnp.where(accept, a, b)
+            return (sel(R_n, R_c), sel(t_n, t_c), sel(aff_n, aff_c),
+                    sel(H_n, Hc), sel(b_n, bc), sel(E_n, Ec), sel(n_n, nc),
+                    jnp.where(accept, lam * 0.5, jnp.maximum(lam * 4.0, 0.001)))
+
+        carry = jax.lax.fori_loop(
+            0, n_iters, body,
+            (R0, t0, aff0, H0, b0v, E0, n0, jnp.float32(0.01)))
+        E_f, n_f = carry[5], carry[6]
+        mean_e = E_f / jnp.maximum(n_f, 1.0)
+        bad = ~jnp.isfinite(mean_e) | (n_f < 4.0)
+        return jnp.where(bad, jnp.inf, mean_e)
+
+    return jax.vmap(score_one)(R_b, t_b)
+
+
+def track_coarse_multi(
+    template: Template,
+    target_pyr: List[jnp.ndarray],
+    K_pyr: jnp.ndarray,
+    R_b: jnp.ndarray,               # (N, 3, 3)
+    t_b: jnp.ndarray,               # (N, 3)
+    aff0: jnp.ndarray,
+    exp_ref: jnp.ndarray,
+    exp_new: jnp.ndarray,
+    aff_ref: jnp.ndarray,
+    cfg: Config,
+    coarsest_lvl: int | None = None,
+    min_res_for_abort: jnp.ndarray | None = None,
+) -> Tuple[TrackResult, jnp.ndarray]:
+    """Batched-hypothesis tracking: score all hypotheses at the coarsest
+    level, then run the full coarse-to-fine LM once on the winner — the
+    whole per-frame tracker in ONE device dispatch (vs. up to 31 serial
+    calls replicating System.cpp:428-481 exactly).
+
+    Behavioral note vs. the reference: the reference accepts the FIRST
+    hypothesis that beats its early-out threshold; we refine the argmin of
+    the coarsest-level energies. On every sequence we generate these agree
+    except when two hypotheses tie within noise. Returns (result, best_idx).
+    """
+    n_levels = len(target_pyr)
+    if coarsest_lvl is None:
+        coarsest_lvl = n_levels - 1
+    scores = score_hypotheses(
+        template, target_pyr[coarsest_lvl], K_pyr[coarsest_lvl], coarsest_lvl,
+        R_b, t_b, aff0, exp_ref, exp_new, aff_ref, cfg,
+    )
+    best = jnp.argmin(scores)
+    res = track_coarse(
+        template, target_pyr, K_pyr, R_b[best], t_b[best], aff0,
+        exp_ref, exp_new, aff_ref, cfg,
+        coarsest_lvl=coarsest_lvl, min_res_for_abort=min_res_for_abort,
+    )
+    ok = res.ok & jnp.isfinite(scores[best])
+    return res._replace(ok=ok), best
+
+
+def _rigid_inv(T: jnp.ndarray) -> jnp.ndarray:
+    R = T[:3, :3]
+    t = T[:3, 3]
+    Ti = jnp.eye(4, dtype=T.dtype)
+    Ti = Ti.at[:3, :3].set(R.T)
+    Ti = Ti.at[:3, 3].set(-R.T @ t)
+    return Ti
+
+
+# the reference's 26 small-rotation perturbations (System.cpp:374-405)
+_ROT_AXES = jnp.array(
+    [(1, 0, 0), (0, 1, 0), (0, 0, 1),
+     (-1, 0, 0), (0, -1, 0), (0, 0, -1),
+     (1, 1, 0), (0, 1, 1), (1, 0, 1),
+     (-1, 1, 0), (0, -1, 1), (-1, 0, 1),
+     (1, -1, 0), (0, 1, -1), (1, 0, -1),
+     (-1, -1, 0), (0, -1, -1), (-1, 0, -1),
+     (-1, -1, -1), (-1, -1, 1), (-1, 1, -1),
+     (-1, 1, 1), (1, -1, -1), (1, -1, 1),
+     (1, 1, -1), (1, 1, 1)], jnp.float32)
+
+
+def motion_hypotheses_device(
+    ref_c2w: jnp.ndarray,        # (4,4) tracking-reference camToWorld
+    prev_c2w: jnp.ndarray,       # (4,4) last frame camToWorld
+    prevprev_c2w: jnp.ndarray,   # (4,4)
+    have_motion: jnp.ndarray,    # () bool — prev/prevprev valid
+    rot: float = 0.02,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The reference's 31-entry motion-hypothesis list (System.cpp:347-405)
+    built entirely on device from the last two camera poses, so the
+    pipelined tracker needs NO host round-trip between frames.
+    Returns refToNew hypotheses as (32, 3, 3), (32, 3) (identity-padded)."""
+    fh2slast = _rigid_inv(prevprev_c2w) @ prev_c2w
+    T_ls = _rigid_inv(prev_c2w) @ ref_c2w
+    inv_f = _rigid_inv(fh2slast)
+
+    xi = lie.se3_log(fh2slast[:3, :3], fh2slast[:3, 3])
+    Rh, th = lie.se3_exp(0.5 * xi)
+    half = jnp.eye(4).at[:3, :3].set(Rh).at[:3, 3].set(th)
+
+    base = inv_f @ T_ls
+    quats = jnp.concatenate(
+        [jnp.ones((26, 1), jnp.float32), rot * _ROT_AXES], axis=1)
+    quats = quats / jnp.linalg.norm(quats, axis=1, keepdims=True)
+    # quat_to_rot takes [x, y, z, w]
+    R_pert = jax.vmap(lambda q: lie.quat_to_rot(
+        jnp.stack([q[1], q[2], q[3], q[0]])))(quats)
+    pert = jnp.tile(jnp.eye(4)[None], (26, 1, 1)).at[:, :3, :3].set(R_pert)
+    perturbed = jnp.einsum("ij,njk->nik", base, pert)
+
+    head = jnp.stack([
+        base,                       # constant motion
+        inv_f @ inv_f @ T_ls,       # double motion
+        _rigid_inv(half) @ T_ls,    # half motion
+        T_ls,                       # zero motion from last
+        jnp.eye(4),                 # zero motion from ref
+        base,                       # pad to 32
+    ])
+    T_all = jnp.concatenate([head[:5], perturbed, head[5:]], axis=0)  # (32,4,4)
+    eye = jnp.tile(jnp.eye(4)[None], (32, 1, 1))
+    T_all = jnp.where(have_motion, T_all, eye)
+    return T_all[:, :3, :3], T_all[:, :3, 3]
+
+
+class TrackStepOut(NamedTuple):
+    pyr: List[jnp.ndarray]
+    grads: Tuple[jnp.ndarray, ...]
+    R: jnp.ndarray                  # (3,3) refToNew
+    t: jnp.ndarray
+    aff: jnp.ndarray
+    ok: jnp.ndarray
+    residuals: jnp.ndarray
+    flow: jnp.ndarray
+    c2w: jnp.ndarray                # (4,4) new camToWorld
+
+
+def track_step(
+    template: Template,
+    img: jnp.ndarray,               # (H, W) corrected grayscale
+    K_pyr: jnp.ndarray,
+    ref_c2w: jnp.ndarray,
+    prev_c2w: jnp.ndarray,
+    prevprev_c2w: jnp.ndarray,
+    have_motion: jnp.ndarray,
+    aff0: jnp.ndarray,
+    exp_ref: jnp.ndarray,
+    exp_new: jnp.ndarray,
+    aff_ref: jnp.ndarray,
+    cfg: Config,
+    n_levels: int,
+) -> TrackStepOut:
+    """One fully-fused per-frame tracking step: pyramid build + device-side
+    motion hypotheses + batched coarsest-level scoring + coarse-to-fine LM,
+    all in ONE dispatch. The host never has to touch the result to keep the
+    pipeline moving — c2w feeds the next frame's hypotheses directly, so a
+    lag-1 host pull overlaps the next frame's device compute (the TPU
+    answer to the reference's tracking/mapping thread overlap +
+    per-hypothesis early-outs, System.cpp:127-133, 428-481)."""
+    from .pyramid import build_direct_pyramid
+
+    pyr, grads = build_direct_pyramid(img, n_levels)
+    R_b, t_b = motion_hypotheses_device(
+        ref_c2w, prev_c2w, prevprev_c2w, have_motion)
+    res, _ = track_coarse_multi(
+        template, pyr, K_pyr, R_b, t_b, aff0,
+        exp_ref, exp_new, aff_ref, cfg, coarsest_lvl=n_levels - 1,
+    )
+    T_rn = jnp.eye(4).at[:3, :3].set(res.R).at[:3, 3].set(res.t)
+    c2w = ref_c2w @ _rigid_inv(T_rn)
+    return TrackStepOut(
+        pyr=pyr, grads=grads, R=res.R, t=res.t, aff=res.aff, ok=res.ok,
+        residuals=res.residuals, flow=res.flow, c2w=c2w,
+    )

@@ -3,6 +3,7 @@ exposures from tracked-point observations."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hslam_tpu.models.photo_calib import (
     PhotoParams, calibrate, gamma_lut, init_params, vignette_map,
@@ -57,3 +58,83 @@ def test_recovers_exposures_and_response():
     assert vm.shape == (24, 32)
     # vignette darker at corners than center for a2 < 0
     assert vm[12, 16] > vm[0, 0]
+
+
+@pytest.mark.slow
+def test_online_calibration_in_live_system():
+    """VERDICT item 4 'done' criterion: run the LIVE system on a synthetic
+    sequence whose raw frames carry a ground-truth gamma + vignette; the
+    online calibrator must produce a monotone response estimate whose
+    inverse de-gammas better than identity, and the system must keep
+    tracking (bounded ATE)."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    from test_system import make_texture, render, H, W, FX, FY, CX, CY
+    from hslam_tpu.config import Config
+    from hslam_tpu.models.system import SLAMSystem
+    from hslam_tpu.utils import lie
+    from hslam_tpu.io.trajectory import ate_rmse
+
+    cfg = Config(
+        max_frames=6, max_points=512, max_immature=512, max_features=512,
+        pyr_levels=3, init_min_matches=50, init_ransac_iters=100,
+        desired_point_density=400.0, desired_immature_density=300.0,
+        tracker_iters_per_level=(6, 10, 10),
+    )
+    slam = SLAMSystem(FX, FY, CX, CY, W, H, cfg,
+                      online_photo_calib=True, photo_calib_every=6)
+    I0 = make_texture()
+
+    # ground-truth photometric distortion
+    gamma = 0.7
+    ys, xs = np.mgrid[0:H, 0:W]
+    ccx, ccy = (W - 1) / 2.0, (H - 1) / 2.0
+    r2 = ((xs - ccx) ** 2 + (ys - ccy) ** 2) / (ccx * ccx + ccy * ccy)
+    vig = 1.0 - 0.30 * r2
+
+    gt = []
+    for i in range(20):
+        t = i / 10.0
+        xi = jnp.array(
+            [0.5 * np.sin(0.3 * t), 0.3 * (1 - np.cos(0.35 * t)),
+             0.15 * np.sin(0.2 * t),
+             0.03 * np.sin(0.25 * t), 0.03 * (1 - np.cos(0.2 * t)), 0.02 * t]
+        )
+        R, tt = lie.se3_exp(xi)
+        gt.append((np.asarray(R), np.asarray(tt)))
+        clean = np.asarray(render(I0, R, tt))
+        exposure = 1.0 + 0.15 * np.sin(0.9 * i)         # flicker
+        raw = 255.0 * np.clip(vig * exposure * clean / 255.0, 0, 1) ** gamma
+        slam.process_frame(raw.astype(np.float32), t, exposure=1.0)
+        assert not slam.is_lost, f"lost at frame {i}"
+
+    assert slam.initialized
+    assert slam._inv_response is not None, "calibrator never ran"
+    assert np.isfinite(float(jax.device_get(slam._pc_rms)))
+
+    # estimated inverse response must de-gamma: applying it to G(x)=x^0.7
+    # should be closer to linear than doing nothing
+    from hslam_tpu.models.photo_calib import gamma_lut
+    lut = np.asarray(gamma_lut(slam._pc_params))        # estimated G
+    xs256 = np.arange(256.0)
+    gt_G = 255.0 * (xs256 / 255.0) ** gamma
+    err_est = np.sqrt(np.mean((lut - gt_G) ** 2))
+    err_identity = np.sqrt(np.mean((xs256 - gt_G) ** 2))
+    assert err_est < 0.6 * err_identity, (
+        f"response fit rmse {err_est:.1f} vs identity {err_identity:.1f}")
+    assert (np.diff(lut) >= -1e-3).all()
+
+    # vignette estimate must darken corners
+    vm = np.asarray(
+        __import__("hslam_tpu.models.photo_calib", fromlist=["vignette_map"])
+        .vignette_map(slam._pc_params, H, W))
+    assert vm[H // 2, W // 2] > vm[0, 0], "vignette corners not darker"
+
+    est, gtp = [], []
+    for s in slam.shells:
+        Tcw = np.eye(4)
+        Tcw[:3, :3], Tcw[:3, 3] = gt[s.id]
+        gtp.append(np.linalg.inv(Tcw)[:3, 3])
+        est.append(s.cam_to_world[:3, 3])
+    err = ate_rmse(np.array(gtp), np.array(est))
+    assert np.isfinite(err) and err < 0.2, f"ATE too high: {err}"

@@ -110,3 +110,53 @@ def test_fast_detector_path():
     vv = np.asarray(v[valid])
     assert (uu >= 0).all() and (uu < W).all()
     assert (vv >= 0).all() and (vv < H).all()
+
+
+@pytest.mark.slow
+def test_end_to_end_pipelined_async():
+    """Same scene through the lag-1 pipelined tracker + async mapping
+    thread (process_frame_pipelined, sequential=False): device-side motion
+    hypotheses, batched coarsest-level scoring, one dispatch per frame,
+    double-buffered tracker-reference swap."""
+    from hslam_tpu.models.system import SLAMSystem
+
+    cfg = Config(
+        max_frames=6, max_points=512, max_immature=512, max_features=512,
+        pyr_levels=3, init_min_matches=50, init_ransac_iters=100,
+        desired_point_density=400.0, desired_immature_density=300.0,
+        tracker_iters_per_level=(6, 10, 10),
+    )
+    slam = SLAMSystem(FX, FY, CX, CY, W, H, cfg, sequential=False)
+    I0 = make_texture()
+    gt = []
+    try:
+        for i in range(20):
+            t = i / 10.0
+            xi = jnp.array(
+                [0.5 * np.sin(0.3 * t), 0.3 * (1 - np.cos(0.35 * t)),
+                 0.15 * np.sin(0.2 * t),
+                 0.03 * np.sin(0.25 * t), 0.03 * (1 - np.cos(0.2 * t)),
+                 0.02 * t]
+            )
+            R, tt = lie.se3_exp(xi)
+            gt.append((np.asarray(R), np.asarray(tt)))
+            img = render(I0, R, tt)
+            slam.process_frame_pipelined(img, t)
+        slam.flush_pipeline()
+        slam.finish()
+        assert slam.initialized, "pipelined system failed to initialize"
+        assert not slam.is_lost
+        assert slam.next_kf_id >= 2
+
+        from hslam_tpu.io.trajectory import ate_rmse
+
+        est, gtp = [], []
+        for s in slam.shells:
+            Tcw = np.eye(4)
+            Tcw[:3, :3], Tcw[:3, 3] = gt[s.id]
+            gtp.append(np.linalg.inv(Tcw)[:3, 3])
+            est.append(s.cam_to_world[:3, 3])
+        err = ate_rmse(np.array(gtp), np.array(est))
+        assert np.isfinite(err) and err < 0.15, f"ATE too high: {err}"
+    finally:
+        slam.close()
