@@ -68,7 +68,10 @@ def make_frames(n_frames):
             0.02 * np.sin(0.2 * t), 0.02 * (1 - np.cos(0.15 * t)), 0.01 * t,
         ], jnp.float32)
         Rf, tf = lie.se3_exp(xi)
-        frames.append(np.asarray(render(Rf, tf)))
+        # frames enter the system as 8-bit sensor data, like a real camera
+        # (and 4x less host->device tunnel bandwidth than float32)
+        img = np.asarray(render(Rf, tf))
+        frames.append(np.clip(np.round(img), 0, 255).astype(np.uint8))
     return frames
 
 
@@ -90,6 +93,7 @@ def main():
         slam.process_frame_pipelined(frames[i], i * 0.05)
     slam.flush_pipeline()
     slam.finish()
+    slam.wait_compiles()   # background selector-ladder compiles must settle
     sys.stderr.write(
         f"warmup done in {time.perf_counter()-t_warm0:.1f}s; "
         f"kfs={slam.next_kf_id} initialized={slam.initialized}\n")

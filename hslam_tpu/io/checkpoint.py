@@ -32,12 +32,12 @@ def save_state(path: str, system) -> None:
     arrays["calib/value"] = np.asarray(system.calib.value)
     arrays["calib/value_zero"] = np.asarray(system.calib.value_zero)
 
-    imm = system.imm
-    for name in ("valid", "host", "u", "v", "color", "weight", "gradH",
-                 "my_type", "energy_th"):
-        arrays[f"imm/{name}"] = np.asarray(getattr(imm, name))
-    tr_leaves, _ = _flatten_named(imm.trace, "trace")
-    arrays.update(tr_leaves)
+    imm_leaves, _ = _flatten_named(system.imm, "immt")
+    arrays.update(imm_leaves)
+    # host policy mirrors (refreshed from each keyframe's bundle)
+    for name in ("_m_valid", "_m_kfid", "_m_t", "_m_aff", "_m_exp",
+                 "_m_nact_host", "_m_nimm_host"):
+        arrays["mirror/" + name] = np.asarray(getattr(system, name))
 
     if system.template is not None:
         tm_leaves, _ = _flatten_named(system.template, "template")
@@ -95,10 +95,13 @@ def load_state(path: str, system) -> None:
         value=jnp.asarray(data["calib/value"]),
         value_zero=jnp.asarray(data["calib/value_zero"]),
     )
-    for name in ("valid", "host", "u", "v", "color", "weight", "gradH",
-                 "my_type", "energy_th"):
-        setattr(system.imm, name, jnp.asarray(data[f"imm/{name}"]))
-    system.imm.trace = unflatten("trace", system.imm.trace)
+    system._K_pyr_cache = system._k_pyr(system.calib.value)
+    system.imm = unflatten("immt", system.imm)
+    for name in ("_m_valid", "_m_kfid", "_m_t", "_m_aff", "_m_exp",
+                 "_m_nact_host", "_m_nimm_host"):
+        if "mirror/" + name in data:
+            setattr(system, name, np.asarray(data["mirror/" + name]))
+    system._m_n_active = int(system._m_nact_host.sum())
 
     if "template/0/[0]" in data or any(k.startswith("template/") for k in data):
         # rebuild the template pytree if present

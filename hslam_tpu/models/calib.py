@@ -63,6 +63,19 @@ def level_intrinsics(calib: Calib, level: int) -> jnp.ndarray:
     return jnp.stack([fx, fy, cx, cy])
 
 
+def k_pyr_from_value(value: jnp.ndarray, n_levels: int) -> jnp.ndarray:
+    """(L, 4) per-level [fx, fy, cx, cy] from a (4,) level-0 intrinsics
+    vector — the device-side form of level_intrinsics, so jitted kernels
+    can derive the pyramid intrinsics from the optimized calib without any
+    host round-trip."""
+    s = 0.5 ** jnp.arange(n_levels, dtype=jnp.float32)      # (L,)
+    fx = value[0] * s
+    fy = value[1] * s
+    cx = (value[2] + 0.5) * s - 0.5
+    cy = (value[3] + 0.5) * s - 0.5
+    return jnp.stack([fx, fy, cx, cy], axis=-1)
+
+
 def level_size(calib: Calib, level: int) -> Tuple[int, int]:
     return calib.width >> level, calib.height >> level
 

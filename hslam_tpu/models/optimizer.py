@@ -105,6 +105,13 @@ def solve_camera_system(
     HFinal = HFinal * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
     bFinal = bFinal * m
 
+    # a VALID frame can still be momentarily unconstrained (every residual
+    # OOB/outlier and no prior on that dim) — an exactly-zero diagonal makes
+    # the LU produce NaN, and the caller's NaN guard would then zero the
+    # WHOLE step, not just the unconstrained dims; pin those dims instead
+    dg = jnp.diag(HFinal)
+    HFinal = HFinal + jnp.diag(jnp.where(jnp.abs(dg) < 1e-12, 1.0, 0.0))
+
     # scaled solve (EnergyFunctional.cpp:797-802)
     SVecI = 1.0 / jnp.sqrt(jnp.abs(jnp.diag(HFinal)) + 10.0)
     Hs = HFinal * SVecI[:, None] * SVecI[None, :]
@@ -145,16 +152,21 @@ def _residual_grid_mask(frames: W.Frames, points: W.Points) -> jnp.ndarray:
 
 def _update_energy_th(frames: W.Frames, lin: ba.Linearization,
                       grid: jnp.ndarray, newest_slot: jnp.ndarray,
-                      cfg: Config) -> W.Frames:
+                      cfg: Config, axis: str | None = None) -> W.Frames:
     """setNewFrameEnergyTH (FullSystemOptimize.cpp:60-101): the 0.7-quantile
     of sqrt(energy) over residuals targeting the newest frame, blended with
-    a constant, squared."""
+    a constant, squared. Under point-sharding (`axis`), the per-point values
+    are all-gathered first — the quantile is a global order statistic."""
     F = frames.valid.shape[0]
     tgt_new = jnp.arange(F)[None, :] == newest_slot
     mask = grid & tgt_new & (lin.energy_raw >= 0)
-    vals = jnp.where(mask, lin.energy_raw, jnp.inf)
-    flat = jnp.sort(vals.reshape(-1))            # masked-out -> +inf at end
+    vals = jnp.where(mask, lin.energy_raw, jnp.inf).reshape(-1)
+    if axis is not None:
+        vals = jax.lax.all_gather(vals, axis, tiled=True)
+    flat = jnp.sort(vals)                        # masked-out -> +inf at end
     n = jnp.sum(mask)
+    if axis is not None:
+        n = jax.lax.psum(n, axis)
     nth = jnp.clip((cfg.frame_energy_th_n * n).astype(jnp.int32), 0,
                    flat.shape[0] - 1)
     nth_val = jnp.sqrt(jnp.maximum(flat[nth], 0.0))
@@ -176,6 +188,7 @@ def ba_optimize(
     cfg: Config,
     n_iterations: int,
     frozen: ba.FrozenResiduals | None = None,
+    axis: str | None = None,
 ) -> BAResult:
     """The full GN loop for one keyframe insertion (System::optimize).
 
@@ -186,9 +199,20 @@ def ba_optimize(
     during optimize() — isLinearized is only ever set on residuals of points
     marginalized in the same AddKeyframe pass (Mapping.cpp:287-292) — so the
     default None matches reference behavior; the machinery exists for parity
-    tests and FEJ-consistent variants."""
+    tests and FEJ-consistent variants.
+
+    `axis`: when called inside a shard_map over a point-sharded mesh axis,
+    the name of that axis. Per-point work (linearize, Schur scalars, idepth
+    steps, sticky states) stays local to the shard; the camera system
+    (H, b, H_sc, b_sc), convergence statistics, energies, and the
+    energy-threshold quantile are reduced with psum/all_gather over ICI —
+    the TPU-native replacement for the reference's per-thread accumulator
+    shards summed at stitch time (AccumulatedTopHessian.h:122-127)."""
     frames, points = wnd.frames, wnd.points
     F = frames.valid.shape[0]
+
+    def _ps(x):
+        return jax.lax.psum(x, axis) if axis is not None else x
 
     # newest slot = valid frame with max kf_id
     newest_slot = jnp.argmax(jnp.where(frames.valid, frames.kf_id, -1))
@@ -237,8 +261,8 @@ def ba_optimize(
         prior_diag, prior_b = _prior_vectors(frames, calib, cfg)
         do_orth = jnp.asarray(i >= cfg.orthogonalize_x_from_iter)
         x = solve_camera_system(
-            sys.H, sys.b, H_sc, b_sc, wnd.HM, wnd.bM, delta,
-            prior_diag, prior_b, slot_mask, ns_proj, lam, do_orth, cfg,
+            _ps(sys.H), _ps(sys.b), _ps(H_sc), _ps(b_sc), wnd.HM, wnd.bM,
+            delta, prior_diag, prior_b, slot_mask, ns_proj, lam, do_orth, cfg,
         )
         x = jnp.where(jnp.isfinite(x), x, 0.0)
         d_step = ba.resubstitute(sys, HdiF, x)
@@ -254,8 +278,8 @@ def ba_optimize(
         sumB = jnp.sum(f_step[:, 7] ** 2) / nf
         sumT = jnp.sum(f_step[:, 0:3] ** 2) / nf
         sumR = jnp.sum(f_step[:, 3:6] ** 2) / nf
-        npts = jnp.maximum(jnp.sum(pt_active), 1)
-        sumNID = jnp.sum(jnp.where(pt_active, jnp.abs(points.idepth), 0.0)) / npts
+        npts = jnp.maximum(_ps(jnp.sum(pt_active)), 1)
+        sumNID = _ps(jnp.sum(jnp.where(pt_active, jnp.abs(points.idepth), 0.0))) / npts
         th = cfg.th_opt_iterations
         canbreak = (
             (jnp.sqrt(sumA) < 0.0005 * th)
@@ -302,7 +326,7 @@ def ba_optimize(
     new_rs = jnp.where(res_state == W.RES_OOB, W.RES_OOB, lin.new_state)
     active = (new_rs == W.RES_IN) & grid
 
-    frames = _update_energy_th(frames, lin, grid, newest_slot, cfg)
+    frames = _update_energy_th(frames, lin, grid, newest_slot, cfg, axis=axis)
 
     # HdiF for the tracker template weights
     sys = ba.accumulate(lin, active, points.host, AH, AT, F)
@@ -330,8 +354,8 @@ def ba_optimize(
         ),
     )
 
-    E_total = jnp.sum(jnp.where(active, lin.energy, 0.0))
-    n_res = jnp.maximum(jnp.sum(active), 1)
+    E_total = _ps(jnp.sum(jnp.where(active, lin.energy, 0.0)))
+    n_res = jnp.maximum(_ps(jnp.sum(active)), 1)
     rmse = jnp.sqrt(E_total / (PATTERN_NUM * n_res))
 
     return BAResult(
@@ -357,6 +381,7 @@ def marginalize_points(
     to_marg: jnp.ndarray,     # (P,) bool — points to fold into HM/bM
     to_drop: jnp.ndarray,     # (P,) bool — points to discard outright
     cfg: Config,
+    axis: str | None = None,
 ) -> W.Window:
     """flagPointsForRemoval + marginalizePointsF (Mapping.cpp:249-328,
     EnergyFunctional.cpp:545-609). The caller computes the policy flags;
@@ -400,8 +425,15 @@ def marginalize_points(
     active = active & pt_mask[:, None]
     sys = ba.accumulate(lin, active, points.host, AH, AT, F)
 
-    HM = wnd.HM + cfg.marg_weight_fac * (sys.H - H_sc)
-    bM = wnd.bM + cfg.marg_weight_fac * (sys.b - b_sc)
+    H_top, b_top, H_sc_g, b_sc_g = sys.H, sys.b, H_sc, b_sc
+    if axis is not None:   # point-sharded: reduce the folded blocks over ICI
+        H_top = jax.lax.psum(H_top, axis)
+        b_top = jax.lax.psum(b_top, axis)
+        H_sc_g = jax.lax.psum(H_sc_g, axis)
+        b_sc_g = jax.lax.psum(b_sc_g, axis)
+
+    HM = wnd.HM + cfg.marg_weight_fac * (H_top - H_sc_g)
+    bM = wnd.bM + cfg.marg_weight_fac * (b_top - b_sc_g)
 
     remove = to_marg | to_drop
     new_status = jnp.where(remove, W.PT_EMPTY, points.status)

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 class PhotoParams(NamedTuple):
     u_raw: jnp.ndarray       # (n_knots,) raw increments of U (softplus'd)
+    u_span_raw: jnp.ndarray  # () raw log-irradiance span of U (softplus'd)
     vig: jnp.ndarray         # (3,) [a2, a4, a6]
     log_exp: jnp.ndarray     # (F,) per-frame log exposure (frame 0 pinned)
 
@@ -44,6 +45,7 @@ class PhotoParams(NamedTuple):
 def init_params(n_frames: int, n_knots: int = 16) -> PhotoParams:
     return PhotoParams(
         u_raw=jnp.zeros(n_knots),
+        u_span_raw=jnp.asarray(5.96),    # softplus ~ 5.96 -> span ~ 6.5
         vig=jnp.zeros(3),
         log_exp=jnp.zeros(n_frames),
     )
@@ -51,7 +53,10 @@ def init_params(n_frames: int, n_knots: int = 16) -> PhotoParams:
 
 def _U(params: PhotoParams, obs: jnp.ndarray) -> jnp.ndarray:
     """Monotone map observed intensity [0,255] -> log irradiance.
-    U(0)=log(eps); U(255)=log(255) by normalization."""
+    U(255)=log(255) is the gauge pin; U(0) = log(255) - span with the span
+    a free parameter — a FIXED span would impose an arbitrary response
+    scale (the gamma-ambiguity direction, G vs G^a), contradicting pinned
+    exposures and biasing the recovered curve toward identity."""
     n = params.u_raw.shape[0]
     inc = jax.nn.softplus(params.u_raw) + 1e-4         # positive increments
     csum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(inc)])
@@ -60,9 +65,9 @@ def _U(params: PhotoParams, obs: jnp.ndarray) -> jnp.ndarray:
     i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n - 1)
     frac = x - i0
     u01 = csum[i0] * (1 - frac) + csum[i0 + 1] * frac
-    # map to log space: log(eps) .. log(255)
-    lo, hi = jnp.log(0.4), jnp.log(255.0)
-    return lo + u01 * (hi - lo)
+    hi = jnp.log(255.0)
+    span = jax.nn.softplus(params.u_span_raw) + 0.5
+    return (hi - span) + u01 * span
 
 
 def _log_vignette(params: PhotoParams, r2: jnp.ndarray) -> jnp.ndarray:
@@ -87,14 +92,24 @@ def residuals(params: PhotoParams, obs: jnp.ndarray, frame_idx: jnp.ndarray,
 @partial(jax.jit, static_argnames=("n_iters",))
 def calibrate(params: PhotoParams, obs: jnp.ndarray, frame_idx: jnp.ndarray,
               r2: jnp.ndarray, mask: jnp.ndarray, n_iters: int = 20,
-              lam: float = 1e-4, smooth_w: float = 3.0):
+              lam: float = 1e-4, smooth_w: float = 0.3,
+              exp_known: jnp.ndarray | None = None):
     """Joint GN over (u_raw, vig, log_exp). Returns updated params and the
     final data-residual RMS.
 
     `smooth_w` regularizes the log-increments of the response toward
     uniformity — without it the problem has a near-degenerate minimum that
     flattens the response over the observed range and zeroes the exposures
-    (the response shape is only constrained where observations overlap)."""
+    (the response shape is only constrained where observations overlap).
+
+    `exp_known` ((F,) exposure times or None): with UNKNOWN exposures the
+    problem has a 1-parameter gauge ambiguity — U -> a*U is absorbed exactly
+    by scaled log-exposures/radiances and near-exactly by the vignette
+    polynomial (equivalently G(x) vs G(x)^a; the classic gamma ambiguity of
+    joint response+exposure estimation). Real datasets the reference targets
+    ship exposure times (TUM-MonoVO; consumed by photometricUndistorter.cpp:
+    121-146), and pinning log-exposures to the telemetry breaks the gauge,
+    making the full response shape identifiable."""
     flat, unravel = jax.flatten_util.ravel_pytree(params)
     n_obs = jnp.sqrt(jnp.maximum(jnp.sum(mask), 1.0))
 
@@ -103,6 +118,13 @@ def calibrate(params: PhotoParams, obs: jnp.ndarray, frame_idx: jnp.ndarray,
         data = residuals(pp, obs, frame_idx, r2, mask).reshape(-1)
         log_inc = jnp.log(jax.nn.softplus(pp.u_raw) + 1e-4)
         reg = smooth_w * (n_obs / pp.u_raw.shape[0]) * jnp.diff(log_inc)
+        if exp_known is not None:
+            # exposure telemetry: pin log-exposures (relative to frame 0,
+            # matching the e_0 = 1 gauge of `residuals`)
+            le_t = jnp.log(jnp.maximum(exp_known, 1e-6))
+            le_t = le_t - le_t[0]
+            reg_e = 10.0 * n_obs * (pp.log_exp.at[0].set(0.0) - le_t)
+            reg = jnp.concatenate([reg, reg_e])
         return jnp.concatenate([data, reg])
 
     n_data = obs.size

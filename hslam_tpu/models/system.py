@@ -27,12 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import PATTERN, Config
+from ..models import kf_step as KS
 from ..models import window as W
-from ..models.calib import Calib, level_intrinsics, make_calib
-from ..models.optimizer import BAResult, ba_optimize, marginalize_frame, marginalize_points
-from ..ops import activation as act_ops
-from ..ops import ba as ba_ops
-from ..ops import distmap as dist_ops
+from ..models.calib import (Calib, k_pyr_from_value, level_intrinsics,
+                            make_calib)
+from ..models.optimizer import BAResult, ba_optimize
 from ..ops import epipolar as epi_ops
 from ..ops import klt as klt_ops
 from ..ops import selector as sel_ops
@@ -67,21 +66,20 @@ def _se3_np(R, t):
     return T
 
 
-class Immatures:
-    """Device SoA for candidate points (capacity cfg.max_immature)."""
+# candidate-point SoA lives in models/kf_step.py (Imm pytree); re-exported
+# for checkpoint IO and tests
+Imm = KS.Imm
 
-    def __init__(self, cfg: Config):
-        n = cfg.max_immature
-        self.valid = jnp.zeros(n, bool)
-        self.host = jnp.zeros(n, jnp.int32)
-        self.u = jnp.zeros(n, jnp.float32)
-        self.v = jnp.zeros(n, jnp.float32)
-        self.color = jnp.zeros((n, 8), jnp.float32)
-        self.weight = jnp.ones((n, 8), jnp.float32)
-        self.gradH = jnp.zeros((n, 2, 2), jnp.float32)
-        self.my_type = jnp.ones(n, jnp.float32)
-        self.energy_th = jnp.zeros(n, jnp.float32)
-        self.trace = epi_ops.init_trace_state(n)
+
+def _copy_to_host_async(tree):
+    """Start device->host copies of every leaf (hides the tunnel RTT behind
+    subsequent device work); jax.device_get later finds the data staged."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        try:
+            leaf.copy_to_host_async()
+        except AttributeError:
+            pass
+    return tree
 
 
 class SLAMSystem:
@@ -90,8 +88,17 @@ class SLAMSystem:
 
     def __init__(self, fx, fy, cx, cy, width, height, cfg: Config = Config(),
                  enable_loop_closure: bool = False, sequential: bool = True,
-                 online_photo_calib: bool = False, photo_calib_every: int = 8):
+                 online_photo_calib: bool = False, photo_calib_every: int = 8,
+                 dist_mesh=None):
+        """`dist_mesh` (optional jax.sharding.Mesh with a "points" axis):
+        point-shard the windowed BA + point marginalization across the mesh
+        devices (psum-reduced camera systems over ICI; parallel/dist_ba.py).
+        cfg.max_points must divide the mesh size."""
         self.cfg = cfg
+        self.dist_mesh = dist_mesh
+        if dist_mesh is not None:
+            assert cfg.max_points % dist_mesh.size == 0, (
+                "max_points must divide the mesh size")
         self.calib = make_calib(fx, fy, cx, cy, width, height)
         self.width, self.height = width, height
         self.enable_loop_closure = enable_loop_closure
@@ -118,7 +125,7 @@ class SLAMSystem:
         self._pending_entries: list = []  # KF entries awaiting the vocab
         self.n_loops_closed = 0
         self.window = W.empty_window(cfg, height, width)
-        self.imm = Immatures(cfg)
+        self.imm = KS.empty_imm(cfg)
         self.shells: List[Shell] = []
         self.kf_shell_ids: List[int] = []
         self.slot_shell: List[Optional[int]] = [None] * cfg.max_frames
@@ -133,6 +140,19 @@ class SLAMSystem:
         self.selector_pot = 5
         self._marg_counts: dict = {}
         self._last_flow = np.zeros(3)
+        # --- host mirrors of the window policy state, refreshed from each
+        # keyframe's KFBundle (ONE pull per KF): the inputs of
+        # flagFramesForMarginalization / density adaptation never touch
+        # device data between keyframes.
+        F = cfg.max_frames
+        self._m_valid = np.zeros(F, bool)
+        self._m_kfid = np.full(F, -1, np.int64)
+        self._m_t = np.zeros((F, 3))
+        self._m_aff = np.zeros((F, 2))
+        self._m_exp = np.ones(F)
+        self._m_nact_host = np.zeros(F, np.int64)
+        self._m_nimm_host = np.zeros(F, np.int64)
+        self._m_n_active = 0
         # keyframe connectivity map (EnergyFunctional.h:83):
         # (host_kf_id, target_kf_id) -> [n_active_res, n_marginalized_res]
         self.connectivity: dict = {}
@@ -159,7 +179,12 @@ class SLAMSystem:
         self._shell_lock = threading.Lock()
         self._map_exc: Optional[BaseException] = None
         self.n_frames_skipped = 0       # non-KF frames dropped in catch-up
-        # lag-1 pipelined-tracking frontier (process_frame_pipelined)
+        self._kfs_pending = 0           # KFs queued or in flight (max 1)
+        # lag-N pipelined-tracking frontier (process_frame_pipelined):
+        # frame k's host finalization happens while frames k+1..k+lag compute
+        # on device, which hides both the device time AND the ~25 ms
+        # device->host tunnel RTT of the result pull.
+        self.pipeline_lag = 2
         self._pipe: deque = deque()
         self._frontier_frames = 0
         self._dev_prev = jnp.eye(4, dtype=jnp.float32)
@@ -177,6 +202,34 @@ class SLAMSystem:
 
         self._build_jit()
 
+        self._precompile_thread = None
+        if not sequential:
+            # compile every selector-ladder variant up front (in background,
+            # overlapping the main-path compiles) so a pot change mid-run
+            # never stalls a keyframe on a fresh XLA compile
+            self._precompile_thread = threading.Thread(
+                target=self._precompile_selectors, daemon=True)
+            self._precompile_thread.start()
+
+    def _precompile_selectors(self):
+        try:
+            dummy = jnp.zeros((self.height, self.width, 3), jnp.float32)
+            grads = tuple(
+                jnp.zeros((self.height >> l, self.width >> l), jnp.float32)
+                for l in range(3))
+            for pot in self._POT_LADDER:
+                self._select_px(pot, dummy, grads,
+                                int(self.cfg.desired_immature_density), 0)
+        except Exception:
+            pass   # warmup only — real calls compile lazily as before
+
+    def wait_compiles(self, timeout: float = 1200.0):
+        """Block until the background kernel precompiles finish — call after
+        the warmup frames and before latency-sensitive measurement so no
+        compile contends the device/compile service mid-run."""
+        if self._precompile_thread is not None:
+            self._precompile_thread.join(timeout=timeout)
+
     # ------------------------------------------------------------------ jit
     def _build_jit(self):
         cfg = self.cfg
@@ -184,7 +237,7 @@ class SLAMSystem:
 
         @jax.jit
         def prep(img):
-            pyr, grads = build_direct_pyramid(img, n_lvl)
+            pyr, grads = build_direct_pyramid(img.astype(jnp.float32), n_lvl)
             return pyr, grads
 
         self._prep = prep
@@ -224,15 +277,18 @@ class SLAMSystem:
 
         self._pc_sample = pc_sample
 
-        @jax.jit
-        def pc_fit(obs, r2, mask):
+        @partial(jax.jit, static_argnames=("known",))
+        def pc_fit(obs, r2, mask, exp, known):
             """Joint response/vignette/exposure GN + LUT derivation, all
-            on device (models/photo_calib.py)."""
+            on device (models/photo_calib.py). `known=True` pins the
+            log-exposures to the telemetry in `exp` — breaks the gamma
+            gauge ambiguity of joint response+exposure estimation."""
             from ..models import photo_calib as PC
             from ..ops.undistort import invert_response, response_grad_weight
             params = PC.init_params(obs.shape[1])
-            params, rms = PC.calibrate(params, obs,
-                                       jnp.arange(obs.shape[1]), r2, mask)
+            params, rms = PC.calibrate(
+                params, obs, jnp.arange(obs.shape[1]), r2, mask,
+                exp_known=exp if known else None)
             lut = PC.gamma_lut(params)
             inv_resp = invert_response(lut)
             grad_w = response_grad_weight(lut)
@@ -252,15 +308,22 @@ class SLAMSystem:
         self._track_step = jax.jit(
             partial(trk_ops.track_step, cfg=cfg, n_levels=n_lvl)
         )
-        self._ba = jax.jit(
-            lambda wnd, calib, n: ba_optimize(wnd, calib, cfg, n),
-            static_argnums=(2,),
-        )
-        self._trace = jax.jit(partial(epi_ops.trace_on, cfg=cfg))
-        self._activate = jax.jit(partial(act_ops.activate_points, cfg=cfg))
-        self._marg_points = jax.jit(partial(marginalize_points, cfg=cfg))
-        self._marg_frame = jax.jit(partial(marginalize_frame, cfg=cfg))
-        self._build_template = jax.jit(trk_ops.build_template)
+        # n_iterations is a traced scalar (the GN while_loop bound) so the
+        # init-time 20/15-iteration windows share ONE compilation with the
+        # steady-state 6-iteration one
+        self._ba = jax.jit(lambda wnd, calib, n: ba_optimize(wnd, calib, cfg, n))
+        # the whole AddKeyframe pipeline as one dispatch + one bundle pull
+        self._kf_step = jax.jit(
+            partial(KS.kf_step, cfg=cfg, mesh=self.dist_mesh))
+
+        def trace_step(imm, frames, calib_value, R_new, t_new, aff, exp, tgt):
+            tr = KS.trace_candidates(imm, frames, calib_value, R_new, t_new,
+                                     aff, exp, tgt, cfg)
+            return imm._replace(trace=tr)
+
+        self._trace_step = jax.jit(trace_step)
+        self._k_pyr = jax.jit(partial(k_pyr_from_value, n_levels=n_lvl))
+        self._K_pyr_cache = self._k_pyr(self.calib.value)
         self._select = {}   # per-pot compiled selector
 
         @jax.jit
@@ -433,10 +496,10 @@ class SLAMSystem:
 
         with self._shell_lock:
             ref_c2w = self.shells[self.ref_shell_id].cam_to_world.copy()
-        K_pyr = jnp.stack([level_intrinsics(self.calib, l)
-                           for l in range(cfg.pyr_levels)])
         shell.tracking_ref = self.ref_shell_id
-        raw = jnp.asarray(image, jnp.float32)
+        # frames cross the tunnel in their native dtype (uint8 preferred:
+        # 4x less host->device bandwidth); conversion happens on device
+        raw = jnp.asarray(image)
         img_dev = raw
         if self.online_photo_calib and self._inv_response is not None:
             # correction-only dispatch; the track_step pyramid then sees
@@ -445,7 +508,7 @@ class SLAMSystem:
             img_dev = self._correct_img(raw, self._inv_response,
                                         self._inv_vignette)
         out = self._track_step(
-            self.template, img_dev, K_pyr,
+            self.template, img_dev, self.calib.value,
             jnp.asarray(ref_c2w, jnp.float32),
             self._dev_prev, self._dev_prevprev,
             jnp.bool_(self._frontier_frames >= 2),
@@ -453,13 +516,17 @@ class SLAMSystem:
             jnp.float32(self.ref_exposure), jnp.float32(shell.exposure),
             jnp.asarray(self.ref_aff, jnp.float32),
         )
+        # start the device->host copy of the small result NOW so the pull in
+        # _complete_tracked (pipeline_lag frames later) finds it staged
+        _copy_to_host_async((out.R, out.t, out.aff, out.ok,
+                             out.residuals, out.flow))
         self._pipe.append((shell, out, raw))
         self._dev_prevprev = self._dev_prev
         self._dev_prev = out.c2w
         self._dev_aff = out.aff
         self._frontier_frames += 1
 
-        if len(self._pipe) >= 2:
+        if len(self._pipe) > self.pipeline_lag:
             return self._complete_tracked(*self._pipe.popleft())
         return None
 
@@ -482,10 +549,16 @@ class SLAMSystem:
         with self._shell_lock:
             ref_c2w = self.shells[self.ref_shell_id].cam_to_world.copy()
             rels = []
+            exps = []
             for sid, _ in self._pc_ring:
                 T = np.linalg.inv(self.shells[sid].cam_to_world) @ ref_c2w
                 rels.append(T)
+                exps.append(self.shells[sid].exposure or 1.0)
         rels = np.stack(rels)
+        exps = np.asarray(exps, np.float32)
+        # exposure telemetry (when present) pins the gauge; all-ones means
+        # "unknown" (DatasetLoader convention for missing exposure files)
+        exp_known = bool(np.any(np.abs(exps - 1.0) > 1e-9))
         raws = jnp.stack([r for _, r in self._pc_ring])
         K4 = jnp.asarray([self.calib.value[i] for i in range(4)])
         obs, r2, mask = self._pc_sample(
@@ -494,7 +567,8 @@ class SLAMSystem:
             jnp.asarray(rels[:, :3, 3], jnp.float32), raws,
         )
         (self._pc_params, self._pc_rms, self._inv_response,
-         self._grad_weight, self._inv_vignette) = self._pc_fit(obs, r2, mask)
+         self._grad_weight, self._inv_vignette) = self._pc_fit(
+            obs, r2, mask, jnp.asarray(exps), known=exp_known)
 
     def _complete_tracked(self, shell: Shell, out, raw=None) -> Shell:
         """Finalize one pipelined frame: pull the track result (one host
@@ -519,19 +593,52 @@ class SLAMSystem:
             shell.aff = np.asarray(aff_h, np.float64)
             self._last_flow = np.asarray(flow_h)
         else:
-            # rare: batched winner rejected — serial fallback on this
-            # frame's pyramid; the frontier re-seeds from its outcome
-            K_pyr = jnp.stack([level_intrinsics(self.calib, l)
-                               for l in range(cfg.pyr_levels)])
-            tries, aff_init = self._motion_hypotheses(anchor=shell.id)
-            ok = self._track_serial(shell, out.pyr, tries, aff_init, K_pyr)
+            # rare: batched winner rejected — retry with a RESET motion
+            # frontier (zero-motion hypotheses from the reference keyframe)
+            # through the SAME compiled track_step kernel; compiling a
+            # separate serial-tracker kernel mid-run would stall the
+            # pipeline for a full XLA compile
+            with self._shell_lock:
+                ref_c2w = self.shells[self.ref_shell_id].cam_to_world.copy()
+            ref_dev = jnp.asarray(ref_c2w, jnp.float32)
+            out2 = self._track_step(
+                self.template, out.pyr[0][..., 0], self.calib.value,
+                ref_dev, ref_dev, ref_dev, jnp.bool_(False),
+                jnp.asarray(self.ref_aff, jnp.float32),
+                jnp.float32(self.ref_exposure), jnp.float32(shell.exposure),
+                jnp.asarray(self.ref_aff, jnp.float32),
+            )
+            R2, t2, aff2, ok2, res2, flow2 = jax.device_get(
+                (out2.R, out2.t, out2.aff, out2.ok, out2.residuals,
+                 out2.flow))
+            ok = bool(ok2) and np.isfinite(res2[0]) and np.all(np.isfinite(t2))
+            if ok:
+                self.last_coarse_rmse = np.where(
+                    np.isnan(res2), 100.0, np.minimum(res2, 1e9))
+                T_best = _se3_np(R2, t2)
+                shell.cam_to_ref = np.linalg.inv(T_best)
+                with self._shell_lock:
+                    shell.cam_to_world = ref_c2w @ shell.cam_to_ref
+                shell.aff = np.asarray(aff2, np.float64)
+                self._last_flow = np.asarray(flow2)
+            else:
+                # recovery: BoW+PnP relocalization, else predicted pose
+                # ("hope to recover", System.cpp:483-489)
+                reloc = self._attempt_relocalization(shell, out.pyr)
+                if reloc is not None:
+                    shell.cam_to_world = reloc
+                else:
+                    shell.pose_valid = False
+                    shell.cam_to_world = ref_c2w
+                shell.cam_to_ref = (
+                    np.linalg.inv(ref_c2w) @ shell.cam_to_world)
+                shell.aff = np.asarray(self.ref_aff, np.float64).copy()
+                self._last_flow = np.zeros(3)
+                ok = True    # reference semantics: not lost unless NaN
             self._frontier_frames = 0
             self._dev_prev = jnp.asarray(shell.cam_to_world, jnp.float32)
             self._dev_prevprev = self._dev_prev
             self._dev_aff = jnp.asarray(shell.aff, jnp.float32)
-            if not ok:
-                self.is_lost = True
-                return shell
 
         if self.online_photo_calib and raw is not None:
             self._pc_ring.append((shell.id, raw))
@@ -541,6 +648,15 @@ class SLAMSystem:
 
         need_kf = self._need_keyframe(shell)
         with self._qcond:
+            # backpressure: at most ONE keyframe queued or in flight — under
+            # mapping load extra KFs only grow the queue and go stale (the
+            # death spiral: stale tracker ref -> huge flow -> more KFs). The
+            # deferred frame traces as a non-KF; the KF need re-triggers on a
+            # later frame against the fresh reference.
+            if need_kf and self._kfs_pending >= 1:
+                need_kf = False
+            if need_kf:
+                self._kfs_pending += 1
             self._queue.append((shell, out.pyr, out.grads, need_kf))
             self._qcond.notify_all()
         return shell
@@ -573,6 +689,8 @@ class SLAMSystem:
                 self._map_exc = e
             finally:
                 with self._qcond:
+                    if need_kf:
+                        self._kfs_pending -= 1
                     self._map_busy = False
                     self._qcond.notify_all()
 
@@ -724,11 +842,30 @@ class SLAMSystem:
         self.initialized = True
         self._init_first = None
 
+        # seed the host policy mirrors for KF0 (one pull during init only)
+        n_pts0 = int(np.asarray(jnp.sum(cand_ok)))
+        self._m_valid[:] = False
+        self._m_valid[0] = True
+        self._m_kfid[:] = -1
+        self._m_kfid[0] = 0
+        self._m_t[:] = 0.0
+        self._m_aff[:] = 0.0
+        self._m_exp[:] = 1.0
+        self._m_exp[0] = first_shell.exposure or 1.0
+        self._m_nact_host[:] = 0
+        self._m_nact_host[0] = n_pts0
+        self._m_nimm_host[:] = 0
+        self._m_n_active = n_pts0
+
         # the second frame becomes KF 1 through the normal path
         self._add_keyframe(shell, pyr, grads)
 
     # ------------------------------------------------------------- tracking
     MAX_HYP = 32   # fixed hypothesis batch (31 reference tries + identity pad)
+    # selector block sizes the pot adaptation may choose from — a fixed
+    # ladder so every selector variant compiles once (a fresh pot value
+    # mid-run would stall a keyframe for a full XLA compile)
+    _POT_LADDER = (3, 4, 5, 6, 8)
 
     def _motion_hypotheses(self, anchor: Optional[int] = None):
         """Hypothesis list (System.cpp:347-405) + the initial affine guess.
@@ -792,8 +929,7 @@ class SLAMSystem:
         cfg = self.cfg
         tries, aff_init = self._motion_hypotheses()
 
-        K_pyr = jnp.stack([level_intrinsics(self.calib, l)
-                           for l in range(cfg.pyr_levels)])
+        K_pyr = self._K_pyr_cache
 
         # --- batched path: one dispatch, one host pull
         n = min(len(tries), self.MAX_HYP)
@@ -1010,48 +1146,24 @@ class SLAMSystem:
     # ------------------------------------------------------------- non-KF
     def _process_non_kf(self, shell: Shell, pyr):
         """ProcessNonKeyframe (System.cpp:231-247): epipolar-trace all
-        candidates against this frame, then drop the heavy data."""
-        self._trace_candidates(shell, pyr)
-
-    def _trace_candidates(self, shell: Shell, pyr):
-        imm = self.imm
-        Tw = jnp.asarray(np.linalg.inv(shell.cam_to_world), jnp.float32)
-        frames = self.window.frames
-        R_f, t_f = W.frame_poses(frames)
-        # host->new relative transforms per window slot
-        R_new = Tw[:3, :3]
-        t_new = Tw[:3, 3]
-        Ri, ti = lie.se3_inverse(R_f, t_f)
-        R_rel = R_new[None] @ Ri            # (F, 3, 3)
-        t_rel = jnp.einsum("ij,fj->fi", R_new, ti) + t_new[None]
-
-        K = jnp.asarray(
-            [[self.calib.value[0], 0, self.calib.value[2]],
-             [0, self.calib.value[1], self.calib.value[3]],
-             [0, 0, 1.0]], dtype=jnp.float32)
-        Kinv = jnp.linalg.inv(K)
-        KRKi = jnp.einsum("ij,fjk,kl->fil", K, R_rel, Kinv)
-        Kt = jnp.einsum("ij,fj->fi", K, t_rel)
-
-        aff_f = W.frame_affine(frames)
-        exp_f = jnp.where(frames.exposure == 0, 1.0, frames.exposure)
-        exp_n = jnp.float32(shell.exposure if shell.exposure else 1.0)
-        a_new = jnp.float32(shell.aff[0])
-        b_new = jnp.float32(shell.aff[1])
-        a_rel = jnp.exp(a_new - aff_f[:, 0]) * exp_n / exp_f
-        b_rel = b_new - a_rel * aff_f[:, 1]
-
-        h = imm.host
-        self.imm.trace = self._trace(
-            imm.trace, imm.u, imm.v, imm.color, imm.weight, imm.gradH,
-            imm.energy_th, imm.valid,
-            KRKi[h], Kt[h], jnp.stack([a_rel[h], b_rel[h]], -1),
+        candidates against this frame — ONE fused dispatch, zero pulls."""
+        Tw = np.linalg.inv(shell.cam_to_world)
+        self.imm = self._trace_step(
+            self.imm, self.window.frames, self.calib.value,
+            jnp.asarray(Tw[:3, :3], jnp.float32),
+            jnp.asarray(Tw[:3, 3], jnp.float32),
+            jnp.asarray(shell.aff, jnp.float32),
+            jnp.float32(shell.exposure or 1.0),
             pyr[0],
         )
 
     # ------------------------------------------------------------- keyframe
     def _add_keyframe(self, shell: Shell, pyr, grads):
-        """AddKeyframe (Mapping.cpp:12-142)."""
+        """AddKeyframe (Mapping.cpp:12-142): host policy runs on mirrors of
+        the previous keyframe's bundle (zero device touches), then the whole
+        device pipeline (trace, insert, activation, BA, outlier removal,
+        template, point+frame marginalization, new traces) is ONE kf_step
+        dispatch followed by ONE small async-staged bundle pull."""
         cfg = self.cfg
         F = cfg.max_frames
         shell.is_kf = True
@@ -1066,109 +1178,171 @@ class SLAMSystem:
                     @ shell.cam_to_ref
                 )
 
-        # 1. trace candidates into this frame
-        if self.next_kf_id > 1:
-            self._trace_candidates(shell, pyr)
-
-        # 2. flag frames for marginalization (policy needs stats)
+        # --- host policy (flagFramesForMarginalization + density feedback)
         flagged = self._flag_frames_for_marg(shell)
+        flag_mask = np.zeros(F, bool)
+        flag_mask[flagged] = True
 
-        # 3. insert the new frame into a free slot
-        slot = int(np.argmin(np.asarray(self.window.frames.valid)))
-        assert not bool(self.window.frames.valid[slot]), "window full"
+        free = np.flatnonzero(~self._m_valid)
+        assert free.size > 0, "window full"
+        slot = int(free[0])
+
+        self._adapt_act_dist()
+        n_valid_now = int(self._m_valid.sum()) + 1
+        iters = cfg.max_opt_iterations
+        if n_valid_now < 3:
+            iters = 20
+        elif n_valid_now < 4:
+            iters = 15
+
+        # --- selector dispatch (separately compiled per ladder pot)
+        import os as _os
+        _timing = _os.environ.get("HSLAM_KF_TIMING")
+        _t0 = _time.perf_counter()
+        sel_u, sel_v, sel_type, sel_valid = self._select_px(
+            self.selector_pot, pyr[0], grads,
+            int(cfg.desired_immature_density), shell.id)
+        _t1 = _time.perf_counter()
+
         Twc = np.linalg.inv(shell.cam_to_world)
-        frames = self.window.frames
-        st = np.zeros(8, np.float32)
-        from ..config import FRAME_STATE_SCALE
-        st[6] = shell.aff[0] / FRAME_STATE_SCALE[6]
-        st[7] = shell.aff[1] / FRAME_STATE_SCALE[7]
-        frames = frames._replace(
-            valid=frames.valid.at[slot].set(True),
-            evalpt_R=frames.evalpt_R.at[slot].set(jnp.asarray(Twc[:3, :3], jnp.float32)),
-            evalpt_t=frames.evalpt_t.at[slot].set(jnp.asarray(Twc[:3, 3], jnp.float32)),
-            state=frames.state.at[slot].set(jnp.asarray(st)),
-            state_zero=frames.state_zero.at[slot].set(jnp.asarray(st)),
-            exposure=frames.exposure.at[slot].set(shell.exposure),
-            prior=frames.prior.at[slot].set(jnp.asarray(W.later_frame_prior(cfg))),
-            kf_id=frames.kf_id.at[slot].set(shell.kf_id),
-            images=frames.images.at[slot].set(pyr[0]),
-            energy_th=frames.energy_th.at[slot].set(
-                frames.energy_th[self.ref_slot] if self.ref_slot >= 0
-                else 12.0 * 12.0 * 8
-            ),
+        window, calib, imm, template, result, bundle = self._kf_step(
+            self.window, self.calib, self.imm, tuple(pyr),
+            jnp.asarray(Twc[:3, :3], jnp.float32),
+            jnp.asarray(Twc[:3, 3], jnp.float32),
+            jnp.asarray(shell.aff, jnp.float32),
+            jnp.float32(shell.exposure or 1.0),
+            jnp.int32(slot), jnp.int32(shell.kf_id), jnp.int32(self.ref_slot),
+            jnp.asarray(flag_mask),
+            jnp.float32(self.current_min_act_dist), jnp.int32(iters),
+            sel_u, sel_v, sel_type, sel_valid,
         )
-        self.window = self.window._replace(frames=frames)
+        _t2 = _time.perf_counter()
+        self.window, self.calib, self.imm = window, calib, imm
+        self._K_pyr_cache = self._k_pyr(self.calib.value)
         self.slot_shell[slot] = shell.id
         self.kf_shell_ids.append(shell.id)
 
-        # 4. activate candidate points
-        self._activate_points(slot)
-
-        # 5. optimize
-        n_valid = int(np.sum(np.asarray(self.window.frames.valid)))
-        iters = cfg.max_opt_iterations
-        if n_valid < 3:
-            iters = 20
-        elif n_valid < 4:
-            iters = 15
-        result: BAResult = self._ba(self.window, self.calib, iters)
-        self.window = result.window
-        self.calib = result.calib
-        rmse = float(result.rmse)
+        # --- the ONE policy pull
+        _copy_to_host_async(bundle)
+        b = jax.device_get(bundle)
+        rmse = float(b.rmse)
+        if _timing:
+            import sys as _sys
+            _sys.stderr.write(
+                f"[kf {shell.kf_id}] sel {1e3*(_t1-_t0):.0f}ms "
+                f"dispatch {1e3*(_t2-_t1):.0f}ms "
+                f"pull {1e3*(_time.perf_counter()-_t2):.0f}ms pot {self.selector_pot}\n")
 
         # init-failure gates (Mapping.cpp:68-85)
         nkf = self.next_kf_id
-        if nkf == 2 and rmse > 20 * cfg.init_slack_factor:
+        if ((nkf == 2 and rmse > 20 * cfg.init_slack_factor)
+                or (nkf == 3 and rmse > 13 * cfg.init_slack_factor)
+                or (nkf == 4 and rmse > 9 * cfg.init_slack_factor)):
             self.init_failed = True
-        if nkf == 3 and rmse > 13 * cfg.init_slack_factor:
-            self.init_failed = True
-        if nkf == 4 and rmse > 9 * cfg.init_slack_factor:
-            self.init_failed = True
-        if self.init_failed:
             self._reset()
             return
         if not np.isfinite(rmse):
             self.is_lost = True
             return
 
-        # publish optimized poses back to shells
-        self._publish_window_poses()
+        # publish optimized poses to shells (FullSystemOptimize.cpp:530-537),
+        # including frames marginalized this step (pre-marg poses survive in
+        # the state arrays; only the valid flag is cleared)
+        published = b.valid | flag_mask
+        with self._shell_lock:
+            for s in range(F):
+                if not published[s] or self.slot_shell[s] is None:
+                    continue
+                sh = self.shells[self.slot_shell[s]]
+                sh.cam_to_world = np.linalg.inv(_se3_np(b.Rwc[s], b.twc[s]))
+                sh.aff = np.asarray(b.aff[s], np.float64).copy()
 
-        # 6. remove outliers (no active residuals)
-        pts = self.window.points
-        has_res = jnp.sum(pts.res_state == W.RES_IN, axis=1) > 0
-        new_status = jnp.where(
-            (pts.status == W.PT_ACTIVE) & ~has_res, W.PT_EMPTY, pts.status
-        )
-        self.window = self.window._replace(
-            points=pts._replace(status=new_status.astype(jnp.int32)))
+        # refresh the policy mirrors + marginalization bookkeeping
+        self._m_valid = np.asarray(b.valid).copy()
+        self._m_kfid = np.asarray(b.kf_id, np.int64)
+        self._m_t = np.asarray(b.twc, np.float64)
+        self._m_aff = np.asarray(b.aff, np.float64)
+        self._m_exp = np.asarray(b.exposure, np.float64)
+        self._m_nact_host = np.asarray(b.n_active_host, np.int64)
+        self._m_nimm_host = np.asarray(b.n_imm_host, np.int64)
+        self._m_n_active = int(b.n_active)
+        for s in range(F):
+            if flag_mask[s]:
+                self.slot_shell[s] = None
+                self._marg_counts[s] = 0     # slot reused by a new KF
+            elif int(b.removed_host[s]):
+                self._marg_counts[s] = (self._marg_counts.get(s, 0)
+                                        + int(b.removed_host[s]))
 
-        # 6b. refresh the keyframe connectivity map from the fresh residual
-        # grid (insertResidual tallies, EnergyFunctional.cpp:377,406-408)
-        self._update_connectivity()
+        # connectivity map from the device tallies (EnergyFunctional.h:83,
+        # insertResidual/marginalizePointsF tallies :377,406-408,566)
+        kf_of = np.asarray(b.kf_id)
+        ca = np.asarray(b.conn_active)
+        cm = np.asarray(b.conn_marg)
+        for h_ in range(F):
+            for t_ in range(F):
+                if h_ == t_:
+                    continue
+                if ca[h_, t_] > 0:
+                    key = (int(kf_of[h_]), int(kf_of[t_]))
+                    self.connectivity.setdefault(key, [0, 0])[0] = int(ca[h_, t_])
+                if cm[h_, t_] > 0:
+                    key = (int(kf_of[h_]), int(kf_of[t_]))
+                    self.connectivity.setdefault(key, [0, 0])[1] += int(cm[h_, t_])
 
-        # 7. rebuild the tracker template on the new reference
-        self._set_tracking_ref(slot, shell, result)
+        # selector density adaptation across keyframes (sqrt rule of
+        # PixelSelector.cpp:118-267, applied cross-frame; pot snapped to the
+        # compiled ladder so no new selector variant compiles mid-run)
+        if not cfg.use_fast:
+            have = max(int(b.sel_count), 1)
+            want = cfg.desired_immature_density
+            ideal = self.selector_pot * np.sqrt(have / want)
+            self.selector_pot = min(self._POT_LADDER,
+                                    key=lambda p: abs(p - ideal))
 
-        # 8. flag + marginalize points, then frames
-        self._flag_and_marg_points(flagged)
+        # publish the tracker reference (coarseTracker_forNewKF double
+        # buffer, System.cpp:127-133, Mapping.cpp:93-100)
+        self._newest_template = template
+        ref = (template, slot, shell.id,
+               np.asarray(b.aff[slot], np.float64).copy(),
+               shell.exposure or 1.0)
+        if self.sequential:
+            (self.template, self.ref_slot, self.ref_shell_id,
+             self.ref_aff, self.ref_exposure) = ref
+            self.first_coarse_rmse = -1.0
+        else:
+            with self._ref_lock:
+                self._pending_ref = ref
 
-        # 9. new candidate traces from this keyframe
-        self._make_new_traces(slot, shell, pyr, grads)
-
-        # 10. marginalize flagged frames
-        for s in flagged:
-            self.window = self._marg_frame(self.window, jnp.int32(s))
-            self.slot_shell[s] = None
-            self._marg_counts[s] = 0     # slot will be reused by a new KF
-            # drop immature points hosted there
-            self.imm.valid = self.imm.valid & (self.imm.host != s)
-
-        # 11. hybrid indirect layer: descriptors + loop closure (optional;
+        # hybrid indirect layer: descriptors + loop closure (optional;
         # the reference links DBoW3/g2o but never exercises them — this is
         # the declared-capability integration, "full hybrid mode")
         if self.enable_loop_closure:
             self._loop_closure_step(slot, shell, pyr)
+
+    def _adapt_act_dist(self):
+        """Density feedback on currentMinActDist (Mapping.cpp:332-351),
+        driven by the mirrored active-point count."""
+        n_active = self._m_n_active
+        target = self.cfg.desired_point_density
+        d = self.current_min_act_dist
+        if n_active < target * 0.66:
+            d -= 0.8
+        if n_active < target * 0.8:
+            d -= 0.5
+        elif n_active < target * 0.9:
+            d -= 0.2
+        elif n_active < target:
+            d -= 0.1
+        if n_active > target * 1.5:
+            d += 0.8
+        if n_active > target * 1.3:
+            d += 0.5
+        elif n_active > target * 1.15:
+            d += 0.2
+        elif n_active > target:
+            d += 0.1
+        self.current_min_act_dist = float(np.clip(d, 0.0, 4.0))
 
     # ---------------------------------------------------- loop closure
     def _loop_closure_step(self, slot: int, shell: Shell, pyr):
@@ -1243,35 +1417,20 @@ class SLAMSystem:
 
     # ------------------------------------------------------- KF sub-steps
     def _flag_frames_for_marg(self, new_shell: Shell) -> List[int]:
-        """flagFramesForMarginalization (FullSystemMarginalize.cpp:18-103)."""
+        """flagFramesForMarginalization (FullSystemMarginalize.cpp:18-103),
+        computed purely from the host mirrors of the previous bundle."""
         cfg = self.cfg
-        frames = self.window.frames
-        valid = np.asarray(frames.valid)
+        valid = self._m_valid
         slots = [s for s in range(cfg.max_frames) if valid[s]]
-        n = len(slots) + 1          # including incoming frame
-        if n <= cfg.max_kf_frames:
-            pass  # may still flag low-point frames
-
-        pts = self.window.points
-        status = np.asarray(pts.status)
-        host = np.asarray(pts.host)
-        imm_host = np.asarray(self.imm.host)
-        imm_valid = np.asarray(self.imm.valid)
-
-        aff = np.asarray(W.frame_affine(frames))
-        exposure = np.asarray(frames.exposure)
-        kf_ids = np.asarray(frames.kf_id)
-
-        if not hasattr(self, "_marg_counts"):
-            self._marg_counts = {}
+        kf_ids = self._m_kfid
+        aff = self._m_aff
+        exposure = self._m_exp
 
         flagged: List[int] = []
         newest_aff = new_shell.aff
         newest_exp = new_shell.exposure or 1.0
         for s in slots:
-            n_in = int(((status == W.PT_ACTIVE) & (host == s)).sum()) + int(
-                (imm_valid & (imm_host == s)).sum()
-            )
+            n_in = int(self._m_nact_host[s] + self._m_nimm_host[s])
             n_out = int(self._marg_counts.get(s, 0))
             e = exposure[s] if exposure[s] else 1.0
             a_rel = np.exp(aff[s, 0] - newest_aff[0]) * (e / newest_exp)
@@ -1288,8 +1447,7 @@ class SLAMSystem:
         # the loop guard also covers async KF bursts where several keyframes
         # are inserted before the tracker reference catches up)
         cap = min(cfg.max_kf_frames, cfg.max_frames - 1)
-        R_f, t_f = W.frame_poses(frames)
-        T = np.asarray(t_f)
+        T = self._m_t
         while len(slots) - len(flagged) >= cap:
             newest_kf = kf_ids[slots].max()
             best_score, best_slot = 1.0, None
@@ -1311,151 +1469,6 @@ class SLAMSystem:
             flagged.append(best_slot)
         return flagged
 
-    def _activate_points(self, new_slot: int):
-        """activatePointsMT (Mapping.cpp:330-492)."""
-        cfg = self.cfg
-        pts = self.window.points
-        n_active = int(np.sum(np.asarray(pts.status) == W.PT_ACTIVE))
-        target = cfg.desired_point_density
-        d = self.current_min_act_dist
-        if n_active < target * 0.66:
-            d -= 0.8
-        if n_active < target * 0.8:
-            d -= 0.5
-        elif n_active < target * 0.9:
-            d -= 0.2
-        elif n_active < target:
-            d -= 0.1
-        if n_active > target * 1.5:
-            d += 0.8
-        if n_active > target * 1.3:
-            d += 0.5
-        if n_active > target * 1.15:
-            d += 0.2
-        if n_active > target:
-            d += 0.1
-        self.current_min_act_dist = float(np.clip(d, 0.0, 4.0))
-
-        imm = self.imm
-        tr = imm.trace
-        # candidate deletion (Mapping.cpp:374-381)
-        delete = (~jnp.isfinite(tr.idepth_max)) | (tr.status == epi_ops.IPS_OUTLIER)
-        imm.valid = imm.valid & ~delete
-
-        can_activate = (
-            imm.valid
-            & ((tr.status == epi_ops.IPS_GOOD)
-               | (tr.status == epi_ops.IPS_SKIPPED)
-               | (tr.status == epi_ops.IPS_BADCONDITION)
-               | (tr.status == epi_ops.IPS_OOB))
-            & (tr.last_interval < 8.0)
-            & (tr.quality > cfg.min_trace_quality)
-            & (tr.idepth_max + tr.idepth_min > 0)
-        )
-        # drop candidates that can't activate and are OOB
-        imm.valid = imm.valid & ~(
-            ~can_activate & (tr.status == epi_ops.IPS_OOB)
-        )
-
-        # distance-map gating at half resolution (Mapping.cpp:405-420)
-        frames = self.window.frames
-        R_f, t_f = W.frame_poses(frames)
-        newest = new_slot
-        # project active points into newest at half res for seeds
-        half_K = level_intrinsics(self.calib, 1)
-        # seeds: active points' last known projection — use BA projections if
-        # available; fall back to projecting via current state
-        act_mask = pts.status == W.PT_ACTIVE
-        Ph = pts.host
-        Ri, ti = lie.se3_inverse(R_f, t_f)
-        R_rel = R_f[newest][None] @ Ri      # (F, 3, 3)
-        t_rel = jnp.einsum("ij,fj->fi", R_f[newest], ti) + t_f[newest][None]
-        fx, fy, cx, cy = [self.calib.value[i] for i in range(4)]
-        xh = (pts.u - cx) / fx
-        yh = (pts.v - cy) / fy
-        dirs = jnp.stack([xh, yh, jnp.ones_like(xh)], -1)
-        Rp = R_rel[Ph]
-        tp = t_rel[Ph]
-        p3 = jnp.einsum("pij,pj->pi", Rp, dirs) + tp * pts.idepth[:, None]
-        z = jnp.where(jnp.abs(p3[:, 2]) < 1e-9, 1e-9, p3[:, 2])
-        su = half_K[0] * p3[:, 0] / z + half_K[2]
-        sv = half_K[1] * p3[:, 1] / z + half_K[3]
-        h2, w2 = self.height // 2, self.width // 2
-        seed_ok = act_mask & (z > 0) & (su >= 0) & (sv >= 0) & (su < w2) & (sv < h2)
-        dmap = dist_ops.distance_map(su, sv, seed_ok, h2, w2)
-
-        # candidate projection into newest
-        ih = imm.host
-        idm = 0.5 * (tr.idepth_max + tr.idepth_min)
-        xh_i = (imm.u - cx) / fx
-        yh_i = (imm.v - cy) / fy
-        dirs_i = jnp.stack([xh_i, yh_i, jnp.ones_like(xh_i)], -1)
-        p3i = jnp.einsum("pij,pj->pi", R_rel[ih], dirs_i) + t_rel[ih] * idm[:, None]
-        zi = jnp.where(jnp.abs(p3i[:, 2]) < 1e-9, 1e-9, p3i[:, 2])
-        cu = half_K[0] * p3i[:, 0] / zi + half_K[2]
-        cv = half_K[1] * p3i[:, 1] / zi + half_K[3]
-        inb = (cu > 0) & (cv > 0) & (cu < w2) & (cv < h2) & (zi > 0)
-        cui = jnp.clip(jnp.round(cu).astype(jnp.int32), 0, w2 - 1)
-        cvi = jnp.clip(jnp.round(cv).astype(jnp.int32), 0, h2 - 1)
-        dist_at = dmap[cvi, cui] + (cu - jnp.floor(cu))
-        gate = dist_at >= self.current_min_act_dist * imm.my_type
-        to_opt = can_activate & inb & gate
-        # candidates projecting out of the newest frame are deleted
-        imm.valid = imm.valid & (inb | ~can_activate)
-
-        # batched idepth optimization
-        act = self._activate(
-            frames, self.calib, imm.u, imm.v, idm, imm.color, imm.weight,
-            imm.host, to_opt,
-        )
-
-        # insert activated points
-        pts = self.window.points
-        ok = act.ok
-        slots, write = assign_free_slots(pts.status == W.PT_EMPTY, ok)
-        newpts = pts._replace(
-            status=scatter_update(pts.status, slots, write,
-                                  jnp.full_like(slots, W.PT_ACTIVE)),
-            host=scatter_update(pts.host, slots, write, imm.host),
-            u=scatter_update(pts.u, slots, write, imm.u),
-            v=scatter_update(pts.v, slots, write, imm.v),
-            idepth=scatter_update(pts.idepth, slots, write, act.idepth),
-            idepth_zero=scatter_update(pts.idepth_zero, slots, write, act.idepth),
-            color=scatter_update(pts.color, slots, write, imm.color),
-            weight=scatter_update(pts.weight, slots, write, imm.weight),
-            prior=scatter_update(pts.prior, slots, write,
-                                 jnp.zeros_like(imm.u)),
-            num_good_res=scatter_update(pts.num_good_res, slots, write,
-                                        jnp.zeros_like(slots)),
-            max_rel_baseline=scatter_update(pts.max_rel_baseline, slots, write,
-                                            jnp.zeros_like(imm.u)),
-        )
-        self.window = self.window._replace(points=newpts)
-        # activated (or attempted) candidates are consumed
-        imm.valid = imm.valid & ~to_opt
-
-    def _update_connectivity(self):
-        """Active-residual counts per (host_kf, target_kf) pair
-        (EnergyFunctional.h:83 connectivityMap, [0] = active count)."""
-        F = self.cfg.max_frames
-        pts = self.window.points
-        frames = self.window.frames
-        res_in = np.asarray(pts.res_state == W.RES_IN) & (
-            np.asarray(pts.status) == W.PT_ACTIVE)[:, None]
-        onehot = np.eye(F, dtype=np.float64)[np.asarray(pts.host)]
-        counts = onehot.T @ res_in           # (F_host, F_target)
-        kf_of = np.asarray(frames.kf_id)
-        valid = np.asarray(frames.valid)
-        for h in range(F):
-            if not valid[h]:
-                continue
-            for t in range(F):
-                if not valid[t] or t == h or counts[h, t] == 0:
-                    continue
-                key = (int(kf_of[h]), int(kf_of[t]))
-                ent = self.connectivity.setdefault(key, [0, 0])
-                ent[0] = int(counts[h, t])
-
     def _connected_kf_ids(self, kf_id: int) -> set:
         """Keyframes sharing residuals (active or marginalized) with kf_id."""
         out = set()
@@ -1468,179 +1481,18 @@ class SLAMSystem:
                 out.add(h)
         return out
 
-    def _publish_window_poses(self):
-        frames = self.window.frames
-        R_f, t_f = W.frame_poses(frames)
-        aff = np.asarray(W.frame_affine(frames))
-        R_np, t_np = np.asarray(R_f), np.asarray(t_f)
-        valid = np.asarray(frames.valid)
-        with self._shell_lock:   # shellPoseMutex (FullSystemOptimize.cpp:530)
-            for s in range(self.cfg.max_frames):
-                if not valid[s] or self.slot_shell[s] is None:
-                    continue
-                sh = self.shells[self.slot_shell[s]]
-                Twc = _se3_np(R_np[s], t_np[s])
-                sh.cam_to_world = np.linalg.inv(Twc)
-                sh.aff = aff[s].copy()
-
-    def _set_tracking_ref(self, slot: int, shell: Shell, result: BAResult):
-        """setCoarseTrackingRef + makeCoarseDepthL0 (CoarseTracker.cpp:
-        492-504, 105-263), fed by the BA's projections into the newest KF.
-        In async mode the new template is published to the double buffer
-        (coarseTracker_forNewKF, Mapping.cpp:93-100) and adopted by the
-        tracking thread at its next frame."""
-        pts = self.window.points
-        weight = jnp.sqrt(1e-3 / (result.HdiF + 1e-12))
-        valid = result.newest_res_in & (pts.status == W.PT_ACTIVE)
-        frames = self.window.frames
-        img = frames.images[slot]
-        # rebuild pyramid of the ref image for the template
-        pyr, _ = self._prep(img[..., 0])
-        tpl = self._build_template(
-            result.newest_proj_u, result.newest_proj_v,
-            result.newest_proj_idepth, weight, valid, pyr,
-        )
-        self._newest_template = tpl   # mapping-side view (loop closure)
-        ref = (tpl, slot, shell.id,
-               np.asarray(shell.aff, np.float64).copy(),
-               shell.exposure or 1.0)
-        if self.sequential:
-            (self.template, self.ref_slot, self.ref_shell_id,
-             self.ref_aff, self.ref_exposure) = ref
-            self.first_coarse_rmse = -1.0
-        else:
-            with self._ref_lock:
-                self._pending_ref = ref
-
-    def _flag_and_marg_points(self, flagged_frames: List[int]):
-        """flagPointsForRemoval + marginalizePointsF (Mapping.cpp:249-328)."""
-        cfg = self.cfg
-        pts = self.window.points
-        F = cfg.max_frames
-        flag_mask = np.zeros(F, bool)
-        for s in flagged_frames:
-            flag_mask[s] = True
-        fm = jnp.asarray(flag_mask)
-
-        active = pts.status == W.PT_ACTIVE
-        res_in = pts.res_state == W.RES_IN
-        n_res = jnp.sum(res_in, axis=1)
-        vis_in_marg = jnp.sum(res_in & fm[None, :], axis=1)
-
-        drop_nores = active & ((pts.idepth < 0) | (n_res == 0))
-
-        host_flagged = fm[pts.host]
-        # lastResiduals[0/1]: states toward the two newest keyframes in the
-        # window (MapPoint.h:89-90,148-154) — in the dense grid these are the
-        # res_state columns of the two largest kf_ids
-        kf_ids = np.asarray(self.window.frames.kf_id)
-        valid_f = np.asarray(self.window.frames.valid)
-        order = np.argsort(np.where(valid_f, kf_ids, -1))
-        newest_slot = int(order[-1])
-        second_slot = int(order[-2]) if valid_f.sum() >= 2 else newest_slot
-        last0 = pts.res_state[:, newest_slot]
-        last1 = pts.res_state[:, second_slot]
-        is_oob = (
-            ((n_res >= cfg.min_good_active_res_for_marg)
-             & (pts.num_good_res > cfg.min_good_res_for_marg + 10)
-             & (n_res - vis_in_marg < cfg.min_good_active_res_for_marg))
-            # newest residual went OOB (MapPoint.h:148-149)
-            | (last0 == W.RES_OOB)
-            # both newest residuals are outliers (MapPoint.h:150-154)
-            | ((n_res >= 2) & (last0 == W.RES_OUT) & (last1 == W.RES_OUT))
-        )
-        affected = active & ~drop_nores & (is_oob | host_flagged)
-        inlier = (n_res >= cfg.min_good_active_res_for_marg) & (
-            pts.num_good_res >= cfg.min_good_res_for_marg
-        )
-        well_constrained = pts.idepth_hessian > cfg.min_idepth_h_marg
-        to_marg = affected & inlier & well_constrained
-        to_drop = (affected & (~inlier | ~well_constrained)) | drop_nores
-
-        # per-host counts of removed points feed the marginalization policy
-        removed_host = np.asarray(pts.host)[np.asarray(to_marg | to_drop)]
-        for h in removed_host:
-            self._marg_counts[int(h)] = self._marg_counts.get(int(h), 0) + 1
-
-        # marginalized-residual tallies into the connectivity map
-        # (EnergyFunctional::marginalizePointsF, EnergyFunctional.cpp:566)
-        F_ = self.cfg.max_frames
-        marg_np = np.asarray(to_marg)
-        if marg_np.any():
-            res_in_np = np.asarray(res_in) & marg_np[:, None]
-            onehot = np.eye(F_, dtype=np.float64)[np.asarray(pts.host)]
-            counts = onehot.T @ res_in_np
-            kf_of = np.asarray(self.window.frames.kf_id)
-            valid_f = np.asarray(self.window.frames.valid)
-            for h in range(F_):
-                if not valid_f[h]:
-                    continue
-                for t in range(F_):
-                    if not valid_f[t] or t == h or counts[h, t] == 0:
-                        continue
-                    key = (int(kf_of[h]), int(kf_of[t]))
-                    ent = self.connectivity.setdefault(key, [0, 0])
-                    ent[1] += int(counts[h, t])
-
-        self.window = self._marg_points(self.window, self.calib, to_marg, to_drop)
-
-    def _make_new_traces(self, slot: int, shell: Shell, pyr, grads):
-        """makeNewTraces (Mapping.cpp:226-247): select candidate pixels in
-        the new KF and create immature points."""
-        cfg = self.cfg
-        u, v, ptype, sel_valid = self._select_px(
-            self.selector_pot, pyr[0], grads,
-            int(cfg.desired_immature_density), shell.id,
-        )
-        col, wgt, gH, finite = self._sample_pattern(pyr[0], u, v)
-        cand = sel_valid & finite
-
-        # density adaptation of the selection block size across keyframes
-        # (the reference re-runs selection recursively within one frame,
-        # PixelSelector.cpp:118-267; the same sqrt rule applied across
-        # frames converges to the target density without re-runs)
-        if not cfg.use_fast:
-            have = max(int(np.asarray(sel_valid).sum()), 1)
-            want = cfg.desired_immature_density
-            ideal = self.selector_pot * np.sqrt(have / want)
-            self.selector_pot = int(np.clip(round(ideal), 2, 12))
-
-        imm = self.imm
-        slots, write = assign_free_slots(~imm.valid, cand)
-        imm.valid = scatter_update(imm.valid, slots, write,
-                                   jnp.ones_like(slots, dtype=bool))
-        imm.host = scatter_update(imm.host, slots, write,
-                                  jnp.full_like(slots, slot))
-        imm.u = scatter_update(imm.u, slots, write, u)
-        imm.v = scatter_update(imm.v, slots, write, v)
-        imm.color = scatter_update(imm.color, slots, write, col)
-        imm.weight = scatter_update(imm.weight, slots, write, wgt)
-        imm.gradH = scatter_update(imm.gradH, slots, write, gH)
-        imm.my_type = scatter_update(imm.my_type, slots, write,
-                                     ptype.astype(jnp.float32))
-        imm.energy_th = scatter_update(
-            imm.energy_th, slots, write,
-            jnp.full_like(u, 8 * cfg.outlier_th * cfg.overall_energy_th_weight**2),
-        )
-        tr = imm.trace
-        fresh = epi_ops.init_trace_state(cfg.max_immature)
-        imm.trace = epi_ops.TraceState(
-            idepth_min=scatter_update(tr.idepth_min, slots, write, fresh.idepth_min[:len(slots)] if False else jnp.zeros_like(u)),
-            idepth_max=scatter_update(tr.idepth_max, slots, write, jnp.full_like(u, jnp.inf)),
-            status=scatter_update(tr.status, slots, write,
-                                  jnp.full_like(slots, epi_ops.IPS_UNINITIALIZED)),
-            quality=scatter_update(tr.quality, slots, write, jnp.full_like(u, 10000.0)),
-            last_u=scatter_update(tr.last_u, slots, write, jnp.full_like(u, -1.0)),
-            last_v=scatter_update(tr.last_v, slots, write, jnp.full_like(u, -1.0)),
-            last_interval=scatter_update(tr.last_interval, slots, write,
-                                         jnp.zeros_like(u)),
-        )
-
     def _reset(self):
         """Re-initialize after an init failure (Main/System reset path)."""
         cfg = self.cfg
         self.window = W.empty_window(cfg, self.height, self.width)
-        self.imm = Immatures(cfg)
+        self.imm = KS.empty_imm(cfg)
+        self._m_valid[:] = False
+        self._m_kfid[:] = -1
+        self._m_nact_host[:] = 0
+        self._m_nimm_host[:] = 0
+        self._m_n_active = 0
+        self._marg_counts = {}
+        self.connectivity = {}
         self.initialized = False
         self.init_failed = False
         self._init_first = None

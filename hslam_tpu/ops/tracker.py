@@ -657,8 +657,8 @@ class TrackStepOut(NamedTuple):
 
 def track_step(
     template: Template,
-    img: jnp.ndarray,               # (H, W) corrected grayscale
-    K_pyr: jnp.ndarray,
+    img: jnp.ndarray,               # (H, W) grayscale (uint8 or float32)
+    calib_value: jnp.ndarray,       # (4,) level-0 [fx, fy, cx, cy]
     ref_c2w: jnp.ndarray,
     prev_c2w: jnp.ndarray,
     prevprev_c2w: jnp.ndarray,
@@ -676,10 +676,17 @@ def track_step(
     pipeline moving — c2w feeds the next frame's hypotheses directly, so a
     lag-1 host pull overlaps the next frame's device compute (the TPU
     answer to the reference's tracking/mapping thread overlap +
-    per-hypothesis early-outs, System.cpp:127-133, 428-481)."""
+    per-hypothesis early-outs, System.cpp:127-133, 428-481).
+
+    `img` may be uint8 — frames cross the host->device link in their native
+    8-bit form (4x less tunnel bandwidth than float32) and are converted on
+    device; the per-level intrinsics are likewise derived on device from the
+    (4,) optimized calib vector, so the host never materializes K_pyr."""
+    from ..models.calib import k_pyr_from_value
     from .pyramid import build_direct_pyramid
 
-    pyr, grads = build_direct_pyramid(img, n_levels)
+    K_pyr = k_pyr_from_value(calib_value, n_levels)
+    pyr, grads = build_direct_pyramid(img.astype(jnp.float32), n_levels)
     R_b, t_b = motion_hypotheses_device(
         ref_c2w, prev_c2w, prevprev_c2w, have_motion)
     res, _ = track_coarse_multi(

@@ -21,8 +21,69 @@ from jax.sharding import PartitionSpec as P
 from ..config import CPARS, Config
 from ..models import window as W
 from ..models.calib import Calib
-from ..models.optimizer import _prior_vectors, _slot_mask, _stitched_delta, solve_camera_system
+from ..models.optimizer import (BAResult, _prior_vectors, _slot_mask,
+                                _stitched_delta, ba_optimize,
+                                marginalize_points, solve_camera_system)
 from ..ops import ba
+
+
+def _points_spec() -> W.Points:
+    return W.Points(
+        status=P("points"), host=P("points"), u=P("points"), v=P("points"),
+        idepth=P("points"), idepth_zero=P("points"),
+        color=P("points", None), weight=P("points", None),
+        prior=P("points"), res_state=P("points", None),
+        max_rel_baseline=P("points"), num_good_res=P("points"),
+        idepth_hessian=P("points"),
+    )
+
+
+def _replicated(tree):
+    return jax.tree.map(lambda _: P(), tree)
+
+
+def sharded_ba_optimize(mesh: Mesh, wnd: W.Window, calib: Calib, cfg: Config,
+                        n_iter) -> BAResult:
+    """The FULL windowed GN optimize (models/optimizer.ba_optimize — the
+    while_loop with convergence exit, sticky residual states, FEJ re-fix of
+    the newest keyframe, energy thresholds, final fixing pass) under a
+    point-sharded shard_map: every device linearizes and Schur-eliminates
+    its point shard; the (4+8F)^2 camera system, convergence stats, and the
+    energy quantile ride ICI collectives each iteration. Frames/calib/HM/bM
+    are replicated; all per-point state stays on its shard."""
+    wnd_spec = W.Window(frames=_replicated(wnd.frames), points=_points_spec(),
+                        HM=P(), bM=P())
+    out_spec = BAResult(
+        window=wnd_spec, calib=_replicated(calib), rmse=P(),
+        newest_proj_u=P("points"), newest_proj_v=P("points"),
+        newest_proj_idepth=P("points"), newest_res_in=P("points"),
+        HdiF=P("points"),
+    )
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(wnd_spec, _replicated(calib), P()),
+             out_specs=out_spec, check_vma=False)
+    def opt(wnd_l, calib_l, n):
+        return ba_optimize(wnd_l, calib_l, cfg, n, axis="points")
+
+    return opt(wnd, calib, jnp.int32(n_iter))
+
+
+def sharded_marginalize_points(mesh: Mesh, wnd: W.Window, calib: Calib,
+                               to_marg, to_drop, cfg: Config) -> W.Window:
+    """marginalize_points with the flagged points' Schur-reduced blocks
+    psum-folded into the replicated HM/bM."""
+    wnd_spec = W.Window(frames=_replicated(wnd.frames), points=_points_spec(),
+                        HM=P(), bM=P())
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(wnd_spec, _replicated(calib), P("points"),
+                       P("points")),
+             out_specs=wnd_spec, check_vma=False)
+    def marg(wnd_l, calib_l, tm, td):
+        return marginalize_points(wnd_l, calib_l, tm, td, cfg, axis="points")
+
+    return marg(wnd, calib, to_marg, to_drop)
 
 
 def sharded_ba_step(mesh: Mesh, wnd: W.Window, calib: Calib, cfg: Config):
