@@ -100,34 +100,58 @@ class DatasetReader:
                         float(parts[2]) if len(parts) > 2 else 1.0
                     )
         elif self.kind == "euroc":
-            cam = os.path.join(p, "mav0", "cam0")
-            if not os.path.isdir(cam):
-                cam = os.path.join(p, "cam0")
-            data_dir = os.path.join(cam, "data")
-            csv = os.path.join(cam, "data.csv")
-            if os.path.exists(csv):
-                for ln in open(csv):
-                    if ln.startswith("#"):
-                        continue
-                    ts, name = ln.strip().split(",")[:2]
-                    self.files.append(os.path.join(data_dir, name))
-                    self.timestamps.append(float(ts) * 1e-9)
-                    self.exposures.append(1.0)
-            else:
-                self.files = sorted(
-                    os.path.join(data_dir, f) for f in os.listdir(data_dir)
+            # zipped EuRoC: archive containing mav0/cam0/data/*.png
+            # (DatasetLoader.h:410-434 reads any layout through libzip)
+            img_zip = os.path.join(p, "images.zip")
+            if os.path.exists(img_zip):
+                self._zip = zipfile.ZipFile(img_zip)
+                names = sorted(
+                    n for n in self._zip.namelist()
+                    if n.lower().endswith(".png") and "/data/" in n
                 )
+                self.files = names
                 self.timestamps = [
                     float(os.path.splitext(os.path.basename(f))[0]) * 1e-9
-                    for f in self.files
+                    for f in names
                 ]
-                self.exposures = [1.0] * len(self.files)
+                self.exposures = [1.0] * len(names)
+            else:
+                cam = os.path.join(p, "mav0", "cam0")
+                if not os.path.isdir(cam):
+                    cam = os.path.join(p, "cam0")
+                data_dir = os.path.join(cam, "data")
+                csv = os.path.join(cam, "data.csv")
+                if os.path.exists(csv):
+                    for ln in open(csv):
+                        if ln.startswith("#"):
+                            continue
+                        ts, name = ln.strip().split(",")[:2]
+                        self.files.append(os.path.join(data_dir, name))
+                        self.timestamps.append(float(ts) * 1e-9)
+                        self.exposures.append(1.0)
+                else:
+                    self.files = sorted(
+                        os.path.join(data_dir, f) for f in os.listdir(data_dir)
+                    )
+                    self.timestamps = [
+                        float(os.path.splitext(os.path.basename(f))[0]) * 1e-9
+                        for f in self.files
+                    ]
+                    self.exposures = [1.0] * len(self.files)
         elif self.kind == "kitti":
-            img_dir = os.path.join(p, "image_0")
-            self.files = sorted(
-                os.path.join(img_dir, f) for f in os.listdir(img_dir)
-                if f.endswith(".png")
-            )
+            img_zip = os.path.join(p, "images.zip")
+            if os.path.exists(img_zip):
+                self._zip = zipfile.ZipFile(img_zip)
+                self.files = sorted(
+                    n for n in self._zip.namelist()
+                    if n.endswith(".png") and "image_0/" in n
+                )
+            else:
+                img_dir = os.path.join(p, "image_0")
+                self.files = sorted(
+                    os.path.join(img_dir, f) for f in os.listdir(img_dir)
+                    if f.endswith(".png")
+                )
             times_file = os.path.join(p, "times.txt")
             if os.path.exists(times_file):
                 self.timestamps = [float(ln) for ln in open(times_file) if ln.strip()]
