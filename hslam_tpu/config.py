@@ -157,6 +157,10 @@ class Config:
     init_slack_factor: float = 1.0
     init_ransac_iters: int = 200
     init_min_matches: int = 100
+    # DirectRefinement photometric polish of the two-view result, with the
+    # alphaW/alphaK translation prior + iR coupling + untriangulated 0.1x
+    # down-weighting (Src/Initializer.cpp:1330-2314)
+    init_direct_refine: bool = True
 
     # ---- misc ----
     seed: int = 0

@@ -322,6 +322,8 @@ class SLAMSystem:
             return imm._replace(trace=tr)
 
         self._trace_step = jax.jit(trace_step)
+        from ..ops import init_refine as ir_ops
+        self._init_refine = jax.jit(partial(ir_ops.direct_refine, cfg=cfg))
         self._k_pyr = jax.jit(partial(k_pyr_from_value, n_levels=n_lvl))
         self._K_pyr_cache = self._k_pyr(self.calib.value)
         self._select = {}   # per-pot compiled selector
@@ -773,15 +775,40 @@ class SLAMSystem:
         med = np.median(z[tri]) if tri.sum() > 0 else 1.0
         scale = 1.0 / max(med, 1e-6)
         t_scaled = np.asarray(res.t) * scale   # firstToNew translation
+        R12 = np.asarray(res.R)
+        idepth = 1.0 / np.maximum(z * scale, 1e-4)
+        cand_ok = tri & (idepth > 0)
 
-        self._setup_from_init(
-            first, shell, pyr, grads,
-            np.asarray(res.R), t_scaled,
-            np.asarray(res.points3d) * scale, tri,
-        )
+        # DirectRefinement: joint photometric polish of pose + idepths with
+        # the low-parallax regularizers (Initializer.cpp:1330-2314)
+        if self.cfg.init_direct_refine:
+            ref = self._init_refine(
+                jnp.asarray(first["dir0"]), pyr[0],
+                first["u"], first["v"], first["valid"],
+                jnp.asarray(idepth, jnp.float32), jnp.asarray(tri),
+                jnp.asarray(R12, jnp.float32),
+                jnp.asarray(t_scaled, jnp.float32),
+                self.calib.value,
+            )
+            R_h, t_h, id_h, good_h = jax.device_get(
+                (ref.R, ref.t, ref.idepth, ref.good))
+            if np.all(np.isfinite(t_h)) and np.all(np.isfinite(R_h)):
+                R12, t_scaled = R_h.astype(np.float64), t_h.astype(np.float64)
+                # refined idepths for triangulated survivors only (the
+                # reference writes back videpth for Triangulated features,
+                # Initializer.cpp:1393-1399)
+                keep = tri & good_h & np.isfinite(id_h)
+                idepth = np.where(keep, id_h, idepth)
+                cand_ok = tri & good_h & (idepth > 0)
 
-    def _setup_from_init(self, first, shell, pyr, grads, R12, t12, X, tri_ok):
-        """InitFromInitializer (System.cpp:249-319) + forced first KFs."""
+        self._setup_from_init(first, shell, pyr, grads, R12, t_scaled,
+                              idepth, cand_ok)
+
+    def _setup_from_init(self, first, shell, pyr, grads, R12, t12,
+                         idepth, ok_mask):
+        """InitFromInitializer (System.cpp:249-319) + forced first KFs.
+        `idepth` (P,) and `ok_mask` (P,) describe the bootstrap points
+        (triangulated inliers, photometrically refined when enabled)."""
         cfg = self.cfg
 
         # first frame shell (may not be shells[-2] if init took several tries)
@@ -814,9 +841,8 @@ class SLAMSystem:
         self.slot_shell[0] = first_shell.id
         self.kf_shell_ids.append(first_shell.id)
 
-        # points: triangulated inliers, idepth = 1/z
-        idepth = 1.0 / np.maximum(X[:, 2], 1e-4)
-        cand_ok = jnp.asarray(tri_ok) & (jnp.asarray(idepth) > 0)
+        # points: triangulated (refined) inliers
+        cand_ok = jnp.asarray(ok_mask)
         u = first["u"]
         v = first["v"]
         col, wgt, gH, finite = self._sample_pattern(img0, u, v)
