@@ -65,8 +65,21 @@ class Config:
 
     # ---- pyramid ----
     pyr_levels: int = 6           # direct pyramid levels (Settings.cpp:28)
-    ind_pyr_levels: int = 1       # indirect (feature) pyramid levels
+    ind_pyr_levels: int = 4       # indirect (feature) pyramid levels
     ind_pyr_scale: float = 1.2
+
+    # ---- hybrid indirect layer (per-keyframe multi-scale features +
+    # matched-keypoint reprojection factors in the window BA; the declared
+    # hybrid capability of the reference: Frame::CreateIndPyrs +
+    # FeatureDetector + keypoint-hosted candidates) ----
+    enable_indirect: bool = True
+    max_kf_features: int = 512      # keypoint capacity per keyframe
+    indirect_weight: float = 30.0   # info weight of a 1-px^2 residual at
+                                    # octave 0, in photometric-energy units
+    indirect_huber_px: float = 2.45  # ~sqrt(5.99) * sigma, ORB-SLAM chi2
+    indirect_gate_px: float = 8.0    # hard association/activation gate
+    indirect_match_max_dist: int = 64
+    indirect_match_ratio: float = 0.8
 
     # ---- window / BA ----
     min_frames: int = 5           # Settings.cpp:57

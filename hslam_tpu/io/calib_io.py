@@ -166,6 +166,92 @@ def make_camera(
     )
 
 
+def stereo_rectify(
+    model1: str, params1, model2: str, params2,
+    in_size: Tuple[int, int],
+    R: np.ndarray,               # (3, 3) points cam1 -> cam2 (x2 = R x1 + T)
+    T: np.ndarray,               # (3,)
+    out_size: Optional[Tuple[int, int]] = None,
+) -> Tuple[CameraModel, CameraModel, np.ndarray, np.ndarray, np.ndarray,
+           np.ndarray]:
+    """Stereo rectification: the capability of the reference's
+    cv::stereoRectify + initUndistortRectifyMap path
+    (GeometricUndistorter.cpp:125-156), re-derived from first principles
+    (Bouguet-style): find a common rectifying rotation whose x-axis lies
+    along the baseline, so corresponding points land on the same output
+    row in both remapped images.
+
+    Returns (cam1, cam2, R1, R2, P1, P2): two CameraModels whose remap
+    tables feed the existing device gather kernel (ops/undistort.py), the
+    per-camera rectifying rotations, and the new projection matrices
+    (P2[0, 3] = -fx * baseline).
+    """
+    params1 = np.asarray(params1, np.float64)
+    params2 = np.asarray(params2, np.float64)
+    R = np.asarray(R, np.float64)
+    T = np.asarray(T, np.float64).reshape(3)
+    out_size = out_size or in_size
+    w_out, h_out = out_size
+
+    # baseline: cam2 center in cam1 coordinates
+    b = -R.T @ T
+    bn = np.linalg.norm(b)
+    e1 = b / bn
+    if e1[0] < 0:      # keep rectified x pointing from cam1 to cam2
+        e1 = -e1
+        sign = -1.0
+    else:
+        sign = 1.0
+    # e2 perpendicular to e1 and to the mean optical axis (~cam1 z)
+    e2 = np.array([-e1[1], e1[0], 0.0])
+    n2 = np.linalg.norm(e2)
+    if n2 < 1e-9:      # degenerate (baseline ~ optical axis): vertical pair
+        e2 = np.array([0.0, 1.0, 0.0])
+    else:
+        e2 = e2 / n2
+    e3 = np.cross(e1, e2)
+    R1 = np.stack([e1, e2, e3])          # cam1 -> rectified
+    R2 = R1 @ R.T                        # cam2 -> rectified (same world
+    #                                      orientation as rectified cam1)
+
+    # common pinhole intrinsics for the rectified pair
+    f_new = 0.5 * (params1[1] + params2[1])
+    cx_new = 0.5 * (w_out - 1)
+    cy_new = 0.5 * (h_out - 1)
+    K_new = np.array([[f_new, 0, cx_new], [0, f_new, cy_new], [0, 0, 1.0]])
+    P1 = np.hstack([K_new, np.zeros((3, 1))])
+    P2 = np.hstack([K_new, np.zeros((3, 1))])
+    P2[0, 3] = -f_new * bn * sign
+
+    def build(model, params, R_rect):
+        ys, xs = np.mgrid[0:h_out, 0:w_out].astype(np.float64)
+        rx = (xs - cx_new) / f_new
+        ry = (ys - cy_new) / f_new
+        rays = np.stack([rx, ry, np.ones_like(rx)], axis=-1)
+        cam = rays @ R_rect                  # R_rect^T applied to each ray
+        x = cam[..., 0] / cam[..., 2]
+        y = cam[..., 1] / cam[..., 2]
+        xd, yd = _distort(model, params[4:], x, y)
+        u = params[0] * xd + params[2]
+        v = params[1] * yd + params[3]
+        w_in, h_in = in_size
+        valid = ((cam[..., 2] > 0) & (u >= 0) & (u < w_in - 1)
+                 & (v >= 0) & (v < h_in - 1))
+        remap = np.stack([u, v], axis=-1).astype(np.float32)
+        remap[~valid] = -1.0
+        return remap, valid
+
+    remap1, valid1 = build(model1, params1, R1)
+    remap2, valid2 = build(model2, params2, R2)
+    cam1 = CameraModel(model=model1, params=params1, in_size=in_size,
+                       out_size=out_size, out_K=K_new, remap=remap1,
+                       valid=valid1)
+    cam2 = CameraModel(model=model2, params=params2, in_size=in_size,
+                       out_size=out_size, out_K=K_new, remap=remap2,
+                       valid=valid2)
+    return cam1, cam2, R1, R2, P1, P2
+
+
 def parse_camera_txt(path: str, out_size=None) -> CameraModel:
     """Parse a DSO/TUM-mono style camera.txt (the reference's text format,
     GeometricUndistorter.cpp:26-92):

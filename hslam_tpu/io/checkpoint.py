@@ -34,6 +34,8 @@ def save_state(path: str, system) -> None:
 
     imm_leaves, _ = _flatten_named(system.imm, "immt")
     arrays.update(imm_leaves)
+    ft_leaves, _ = _flatten_named(system.feats, "feats")
+    arrays.update(ft_leaves)
     # host policy mirrors (refreshed from each keyframe's bundle)
     for name in ("_m_valid", "_m_kfid", "_m_t", "_m_aff", "_m_exp",
                  "_m_nact_host", "_m_nimm_host"):
@@ -97,6 +99,8 @@ def load_state(path: str, system) -> None:
     )
     system._K_pyr_cache = system._k_pyr(system.calib.value)
     system.imm = unflatten("immt", system.imm)
+    if any(k.startswith("feats/") for k in data):
+        system.feats = unflatten("feats", system.feats)
     for name in ("_m_valid", "_m_kfid", "_m_t", "_m_aff", "_m_exp",
                  "_m_nact_host", "_m_nimm_host"):
         if "mirror/" + name in data:

@@ -53,6 +53,10 @@ class Imm(NamedTuple):
     gradH: jnp.ndarray        # (N, 2, 2)
     my_type: jnp.ndarray      # (N,)
     energy_th: jnp.ndarray    # (N,)
+    kp_idx: jnp.ndarray       # (N,) int32 host-keyframe keypoint index
+                              # (-1 for gradient-selected candidates) —
+                              # the hybrid "candidates hosted on detector
+                              # keypoints" link (Src/Detector.cpp:56-67)
     trace: epi_ops.TraceState
 
 
@@ -68,6 +72,7 @@ def empty_imm(cfg: Config) -> Imm:
         gradH=jnp.zeros((n, 2, 2), jnp.float32),
         my_type=jnp.ones(n, jnp.float32),
         energy_th=jnp.zeros(n, jnp.float32),
+        kp_idx=jnp.full(n, -1, jnp.int32),
         trace=epi_ops.init_trace_state(n),
     )
 
@@ -92,6 +97,7 @@ class KFBundle(NamedTuple):
     conn_active: jnp.ndarray      # (F, F) active residual counts (snapshot)
     conn_marg: jnp.ndarray        # (F, F) residuals marginalized this KF
     flow_ok: jnp.ndarray          # () bool — all window poses finite
+    n_ind: jnp.ndarray            # () indirect observations live after marg
 
 
 # --------------------------------------------------------------------- trace
@@ -218,6 +224,8 @@ def activate_candidates(
         imm.host, to_opt, cfg=cfg,
     )
 
+    N = imm.u.shape[0]
+    Fn = frames.valid.shape[0]
     slots, write = assign_free_slots(pts.status == W.PT_EMPTY, act.ok)
     newpts = pts._replace(
         status=scatter_update(pts.status, slots, write,
@@ -234,6 +242,15 @@ def activate_candidates(
                                     jnp.zeros_like(slots)),
         max_rel_baseline=scatter_update(pts.max_rel_baseline, slots, write,
                                         jnp.zeros_like(imm.u)),
+        kp_idx=scatter_update(pts.kp_idx, slots, write, imm.kp_idx),
+        ind_u=scatter_update(pts.ind_u, slots, write,
+                             jnp.zeros((N, Fn), jnp.float32)),
+        ind_v=scatter_update(pts.ind_v, slots, write,
+                             jnp.zeros((N, Fn), jnp.float32)),
+        ind_w=scatter_update(pts.ind_w, slots, write,
+                             jnp.zeros((N, Fn), jnp.float32)),
+        ind_valid=scatter_update(pts.ind_valid, slots, write,
+                                 jnp.zeros((N, Fn), bool)),
     )
     valid = valid & ~to_opt
     return (window._replace(points=newpts), imm._replace(valid=valid))
@@ -316,9 +333,12 @@ def insert_new_traces(
     sel_valid: jnp.ndarray,        # (C,) bool
     dir0: jnp.ndarray,             # (H, W, 3) level-0 direct image of the KF
     cfg: Config,
+    sel_kp: jnp.ndarray | None = None,   # (C,) int32 keypoint index or -1
 ) -> Imm:
     """makeNewTraces (Mapping.cpp:226-247): sample pattern colors/weights of
-    selector picks and insert fresh immature points."""
+    selector picks and insert fresh immature points. `sel_kp` links
+    keypoint-hosted candidates to the keyframe's feature table (hybrid
+    layer; -1 for gradient-selected candidates)."""
     pat = jnp.asarray(PATTERN, jnp.float32)
     up = sel_u[:, None] + pat[None, :, 0]
     vp = sel_v[:, None] + pat[None, :, 1]
@@ -332,6 +352,8 @@ def insert_new_traces(
          jnp.stack([jnp.sum(gx * gy, -1), jnp.sum(gy * gy, -1)], -1)], -2)
     finite = jnp.all(jnp.isfinite(col), axis=-1)
     cand = sel_valid & finite
+    if sel_kp is None:
+        sel_kp = jnp.full(sel_u.shape[0], -1, jnp.int32)
 
     slots, write = assign_free_slots(~imm.valid, cand)
     tr = imm.trace
@@ -366,8 +388,61 @@ def insert_new_traces(
             imm.energy_th, slots, write,
             jnp.full_like(sel_u,
                           8 * cfg.outlier_th * cfg.overall_energy_th_weight ** 2)),
+        kp_idx=scatter_update(imm.kp_idx, slots, write, sel_kp),
         trace=new_trace,
     )
+
+
+# ------------------------------------------------------ indirect association
+
+
+def indirect_associate(
+    window: W.Window,
+    feats,                         # features.Feats — per-slot keypoint store
+    slot: jnp.ndarray,             # () int32 — the newly inserted KF slot
+    cfg: Config,
+) -> W.Window:
+    """Hybrid indirect matching: match every window keyframe's keypoints
+    against the new keyframe's, and give each keypoint-hosted active point
+    its detected location in the new frame as a reprojection observation
+    (enters the window BA through Linearization.ind_*; the capability the
+    reference declares with its per-frame descriptor layer,
+    Src/Detector.cpp:70-131 + Include/MapPoint.h)."""
+    from ..ops import features as ft
+
+    pts = window.points
+    frames = window.frames
+    F = frames.valid.shape[0]
+    NF = feats.u.shape[1]
+
+    new_desc = feats.desc[slot]
+    new_valid = feats.valid[slot]
+
+    def m1(d, v):
+        return ft.match_pair(d, v, new_desc, new_valid,
+                             max_dist=cfg.indirect_match_max_dist,
+                             ratio=cfg.indirect_match_ratio)
+
+    midx, mok = jax.vmap(m1)(feats.desc, feats.valid)       # (F, NF)
+
+    kp = jnp.clip(pts.kp_idx, 0, NF - 1)
+    j = midx[pts.host, kp]                                   # (P,)
+    ok = (
+        mok[pts.host, kp]
+        & (pts.kp_idx >= 0)
+        & (pts.status == W.PT_ACTIVE)
+        & frames.valid[pts.host]
+        & (pts.host != slot)
+    )
+    lvl = feats.level[slot, j].astype(jnp.float32)
+    w = cfg.indirect_weight / (cfg.ind_pyr_scale ** (2.0 * lvl))
+    pts = pts._replace(
+        ind_u=pts.ind_u.at[:, slot].set(feats.u[slot, j]),
+        ind_v=pts.ind_v.at[:, slot].set(feats.v[slot, j]),
+        ind_w=pts.ind_w.at[:, slot].set(w.astype(jnp.float32)),
+        ind_valid=pts.ind_valid.at[:, slot].set(ok),
+    )
+    return window._replace(points=pts)
 
 
 # ------------------------------------------------------------------ kf_step
@@ -377,6 +452,7 @@ def kf_step(
     window: W.Window,
     calib: Calib,
     imm: Imm,
+    feats,                         # features.Feats per-slot keypoint store
     pyr: List[jnp.ndarray],        # new-KF direct pyramid [(Hl, Wl, 3)]
     R_new: jnp.ndarray,            # (3, 3) worldToCam of the new KF
     t_new: jnp.ndarray,            # (3,)
@@ -394,7 +470,7 @@ def kf_step(
     sel_valid: jnp.ndarray,
     cfg: Config,
     mesh=None,
-) -> Tuple[W.Window, Calib, Imm, trk_ops.Template, BAResult, KFBundle]:
+):
     """One whole keyframe insertion on device (AddKeyframe,
     Mapping.cpp:12-142). See module docstring for the stage list.
 
@@ -410,6 +486,30 @@ def kf_step(
     new_trace = trace_candidates(
         imm, frames, calib.value, R_new, t_new, aff_new, exp_new, pyr[0], cfg)
     imm = imm._replace(trace=new_trace)
+
+    # 2. indirect frontend: multi-scale keypoints + descriptors of the new
+    # keyframe (Frame::CreateIndPyrs + FeatureDetector::ExtractFeatures)
+    kp_u = kp_v = kp_kpidx = None
+    kp_type = kp_valid = None
+    if cfg.enable_indirect:
+        from ..ops import features as ft
+        f_u, f_v, f_lvl, f_sc, f_desc, f_val = ft.extract_multiscale(
+            pyr[0][..., 0], cfg.ind_pyr_levels, cfg.max_kf_features,
+            float(cfg.min_th_fast), scale=cfg.ind_pyr_scale)
+        feats = feats._replace(
+            u=feats.u.at[slot].set(f_u),
+            v=feats.v.at[slot].set(f_v),
+            level=feats.level.at[slot].set(f_lvl),
+            score=feats.score.at[slot].set(f_sc),
+            desc=feats.desc.at[slot].set(f_desc),
+            valid=feats.valid.at[slot].set(f_val),
+        )
+        # keypoints also enter the candidate stream (keypoint-hosted
+        # candidates — the reference's hybrid point source)
+        kp_u, kp_v = f_u, f_v
+        kp_kpidx = jnp.arange(f_u.shape[0], dtype=jnp.int32)
+        kp_type = jnp.ones_like(kp_kpidx)
+        kp_valid = f_val
 
     # 3. insert the new frame into `slot`
     st = jnp.zeros(8, jnp.float32)
@@ -433,6 +533,11 @@ def kf_step(
 
     # 4. activate candidate points
     window, imm = activate_candidates(window, calib, imm, slot, act_dist, cfg)
+
+    # 4b. indirect association: matched-keypoint reprojection observations
+    # of keypoint-hosted points in the new frame (hybrid layer)
+    if cfg.enable_indirect:
+        window = indirect_associate(window, feats, slot, cfg)
 
     # 5. optimize (point-sharded over the mesh when given)
     if mesh is None:
@@ -469,11 +574,23 @@ def kf_step(
     window, removed_host, conn_marg = flag_and_marg_points(
         window, calib, flag_mask, cfg, mesh=mesh)
 
-    # 9. new candidate traces from this keyframe
-    imm = insert_new_traces(imm, slot, sel_u, sel_v, sel_type, sel_valid,
-                            pyr[0], cfg)
+    # 9. new candidate traces from this keyframe; keypoint-hosted candidates
+    # first (they carry the hybrid descriptor link), selector picks after
+    if cfg.enable_indirect:
+        all_u = jnp.concatenate([kp_u, sel_u])
+        all_v = jnp.concatenate([kp_v, sel_v])
+        all_type = jnp.concatenate([kp_type, sel_type])
+        all_valid = jnp.concatenate([kp_valid, sel_valid])
+        all_kp = jnp.concatenate(
+            [kp_kpidx, jnp.full(sel_u.shape[0], -1, jnp.int32)])
+        imm = insert_new_traces(imm, slot, all_u, all_v, all_type, all_valid,
+                                pyr[0], cfg, sel_kp=all_kp)
+    else:
+        imm = insert_new_traces(imm, slot, sel_u, sel_v, sel_type, sel_valid,
+                                pyr[0], cfg)
 
-    # 10. marginalize flagged frames (+ drop their hosted candidates)
+    # 10. marginalize flagged frames (+ drop their hosted candidates and
+    # the indirect observations targeting them — the slot will be reused)
     for s in range(F):
         window = jax.lax.cond(
             flag_mask[s],
@@ -482,6 +599,8 @@ def kf_step(
             window,
         )
     imm = imm._replace(valid=imm.valid & ~flag_mask[imm.host])
+    window = window._replace(points=window.points._replace(
+        ind_valid=window.points.ind_valid & ~flag_mask[None, :]))
 
     # ------- policy bundle (ONE host pull)
     frames = window.frames
@@ -511,5 +630,7 @@ def kf_step(
         conn_marg=conn_marg,
         flow_ok=jnp.all(jnp.where(frames.valid[:, None],
                                   jnp.isfinite(t_f), True)),
+        n_ind=jnp.sum(pts.ind_valid & pt_active[:, None]
+                      & frames.valid[None, :]),
     )
-    return window, calib, imm, template, result, bundle
+    return window, calib, imm, feats, template, result, bundle

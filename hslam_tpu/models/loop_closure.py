@@ -78,7 +78,8 @@ class LoopCloser:
                      cam_to_world: np.ndarray,
                      kp_idepth=None, kp_depth_ok=None):
         words = self._quantize(desc, valid)
-        vec = bow_ops.bow_vector(words, self.vocab.n_words)
+        vec = bow_ops.bow_vector(words, self.vocab.n_words,
+                                 idf=self.vocab.idf)
         self.entries.append(KeyframeEntry(
             kf_id=kf_id, shell_id=shell_id,
             bow=np.asarray(vec), desc=np.asarray(desc),
@@ -227,9 +228,17 @@ class LoopCloser:
              np.asarray(np.stack(mt), np.float32)),
             np.asarray(w, np.float32),
         )
-        s_new, R_new, t_new = pg_mod.optimize_pose_graph(
-            pg, n_iters=8, fix_scale=fix_scale
-        )
+        # dense GN up to ~512 keyframes; beyond that the matrix-free PCG
+        # path (O(E) memory, KITTI-length graphs — north-star config #5)
+        if N <= 512:
+            s_new, R_new, t_new = pg_mod.optimize_pose_graph(
+                pg, n_iters=8, fix_scale=fix_scale
+            )
+        else:
+            s_new, R_new, t_new = pg_mod.optimize_pose_graph_pcg(
+                pg, n_iters=8, cg_iters=min(4 * N, 4000),
+                fix_scale=fix_scale
+            )
         out = []
         s_np = np.asarray(s_new)
         R_np = np.asarray(R_new)

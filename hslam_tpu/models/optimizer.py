@@ -242,7 +242,14 @@ def ba_optimize(
         new_rs = jnp.where(res_state == W.RES_OOB, W.RES_OOB, lin.new_state)
         active = (new_rs == W.RES_IN) & grid
 
-        sys = ba.accumulate(lin, active, points.host, AH, AT, F)
+        # indirect reprojection factors ride along for points that still
+        # have at least one active photometric residual (their idepth is
+        # Schur-eliminated, so the factor must only enter together with
+        # the point's elimination)
+        pt_phot = jnp.sum(active, axis=1) > 0
+        ind_active = lin.ind_ok & grid & pt_phot[:, None]
+        sys = ba.accumulate(lin, active, points.host, AH, AT, F,
+                            ind_active=ind_active)
         if frozen is not None:
             sys = ba.add_systems(
                 sys,
@@ -329,7 +336,9 @@ def ba_optimize(
     frames = _update_energy_th(frames, lin, grid, newest_slot, cfg, axis=axis)
 
     # HdiF for the tracker template weights
-    sys = ba.accumulate(lin, active, points.host, AH, AT, F)
+    pt_phot = jnp.sum(active, axis=1) > 0
+    sys = ba.accumulate(lin, active, points.host, AH, AT, F,
+                        ind_active=lin.ind_ok & grid & pt_phot[:, None])
     pt_active = (points.status == W.PT_ACTIVE) & (jnp.sum(active, axis=1) > 0)
     _, _, HdiF = ba.schur_complement(sys, points.prior, pt_active)
     idepth_hessian = sys.Hdd + points.prior
@@ -408,9 +417,17 @@ def marginalize_points(
     # at every accepted step).
     frozen = ba.fix_linearization(lin, frames, calib, points.host, active,
                                   AH, AT)
-    lin = lin._replace(resF=frozen.res_toZero)
+    # indirect factors of marginalized points fold in too, extrapolated to
+    # the zero-delta point with the same pixel-Jacobian algebra
+    dp, c_delta = ba.pair_deltas(frames, calib, AH, AT)
+    jx, jy = ba._jp_delta(lin, dp[points.host], c_delta,
+                          jnp.zeros(points.u.shape[0], jnp.float32))
+    ind_res0 = lin.ind_res - jnp.stack([jx, jy], axis=-1)
+    lin = lin._replace(resF=frozen.res_toZero, ind_res=ind_res0)
+    ind_active = grid & lin.ind_ok & to_marg[:, None]
 
-    sys = ba.accumulate(lin, active, points.host, AH, AT, F)
+    sys = ba.accumulate(lin, active, points.host, AH, AT, F,
+                        ind_active=ind_active)
     marg_prior = points.prior * cfg.idepth_fix_prior_marg_fac
     pt_mask = to_marg & (jnp.sum(active, axis=1) > 0)
     # guard: only fold in well-constrained idepths — a tiny Hdd turns the
@@ -423,7 +440,9 @@ def marginalize_points(
     # drop the residual blocks of points excluded by the guard from the top
     # Hessian too (their H/b must not enter HM unpaired with a Schur term)
     active = active & pt_mask[:, None]
-    sys = ba.accumulate(lin, active, points.host, AH, AT, F)
+    ind_active = ind_active & pt_mask[:, None]
+    sys = ba.accumulate(lin, active, points.host, AH, AT, F,
+                        ind_active=ind_active)
 
     H_top, b_top, H_sc_g, b_sc_g = sys.H, sys.b, H_sc, b_sc
     if axis is not None:   # point-sharded: reduce the folded blocks over ICI

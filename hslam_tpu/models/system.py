@@ -57,6 +57,9 @@ class Shell:
     is_kf: bool = False
     kf_id: int = -1
     pose_valid: bool = True
+    relocalized: bool = False     # pose came from BoW/PnP relocalization —
+                                  # downstream motion models must not read a
+                                  # velocity across this frame
 
 
 def _se3_np(R, t):
@@ -87,13 +90,19 @@ class SLAMSystem:
     jit-compiled device kernels."""
 
     def __init__(self, fx, fy, cx, cy, width, height, cfg: Config = Config(),
-                 enable_loop_closure: bool = False, sequential: bool = True,
+                 enable_loop_closure: bool = True, sequential: bool = True,
                  online_photo_calib: bool = False, photo_calib_every: int = 8,
-                 dist_mesh=None):
+                 dist_mesh=None, vocab_path: str | None = None):
         """`dist_mesh` (optional jax.sharding.Mesh with a "points" axis):
         point-shard the windowed BA + point marginalization across the mesh
         devices (psum-reduced camera systems over ICI; parallel/dist_ba.py).
-        cfg.max_points must divide the mesh size."""
+        cfg.max_points must divide the mesh size.
+
+        `vocab_path`: optional offline-trained BoW vocabulary (.npz from
+        ops.bow.save_vocabulary / scripts/train_vocab.py) — the equivalent
+        of the reference's mandatory vocabulary CLI argument (Main.h:81).
+        Without it, a vocabulary is trained online from the first 8
+        keyframes (adequate for a single scene; offline wins on recall)."""
         self.cfg = cfg
         self.dist_mesh = dist_mesh
         if dist_mesh is not None:
@@ -123,9 +132,17 @@ class SLAMSystem:
         self.loop_closer = None          # built lazily once a vocab exists
         self._vocab_descs: list = []     # descriptor pool for training
         self._pending_entries: list = []  # KF entries awaiting the vocab
+        if vocab_path is not None:
+            from ..ops import bow as bow_ops
+            from .loop_closure import LoopCloser
+            self.loop_closer = LoopCloser(
+                bow_ops.load_vocabulary(vocab_path), min_gap=10)
         self.n_loops_closed = 0
+        self.n_relocs = 0    # successful BoW/PnP relocalizations
         self.window = W.empty_window(cfg, height, width)
         self.imm = KS.empty_imm(cfg)
+        from ..ops import features as FT
+        self.feats = FT.empty_feats(cfg.max_frames, cfg.max_kf_features)
         self.shells: List[Shell] = []
         self.kf_shell_ids: List[int] = []
         self.slot_shell: List[Optional[int]] = [None] * cfg.max_frames
@@ -156,6 +173,8 @@ class SLAMSystem:
         # keyframe connectivity map (EnergyFunctional.h:83):
         # (host_kf_id, target_kf_id) -> [n_active_res, n_marginalized_res]
         self.connectivity: dict = {}
+        # per-keyframe live indirect-observation counts (hybrid layer)
+        self.ind_obs_history: List[int] = []
 
         # tracker reference state (host mirrors)
         self._newest_template: Optional[trk_ops.Template] = None
@@ -322,6 +341,12 @@ class SLAMSystem:
             return imm._replace(trace=tr)
 
         self._trace_step = jax.jit(trace_step)
+
+        from ..ops import features as FT
+        self._extract_feats = jax.jit(
+            lambda img: FT.extract_multiscale(
+                img, cfg.ind_pyr_levels, cfg.max_kf_features,
+                float(cfg.min_th_fast), scale=cfg.ind_pyr_scale))
         from ..ops import init_refine as ir_ops
         self._init_refine = jax.jit(partial(ir_ops.direct_refine, cfg=cfg))
         self._k_pyr = jax.jit(partial(k_pyr_from_value, n_levels=n_lvl))
@@ -628,6 +653,8 @@ class SLAMSystem:
                 # ("hope to recover", System.cpp:483-489)
                 reloc = self._attempt_relocalization(shell, out.pyr)
                 if reloc is not None:
+                    self.n_relocs += 1
+                    shell.relocalized = True
                     shell.cam_to_world = reloc
                 else:
                     shell.pose_valid = False
@@ -848,9 +875,32 @@ class SLAMSystem:
         col, wgt, gH, finite = self._sample_pattern(img0, u, v)
         cand_ok = cand_ok & finite
 
+        # indirect frontend for KF0: extract its keypoints and link each
+        # bootstrap point to the nearest keypoint (<= 2.5 px) so the hybrid
+        # reprojection factors cover the bootstrap map too
+        kp_link = jnp.full(u.shape[0], -1, jnp.int32)
+        if cfg.enable_indirect:
+            f_u, f_v, f_lvl, f_sc, f_desc, f_val = self._extract_feats(
+                img0[..., 0])
+            self.feats = self.feats._replace(
+                u=self.feats.u.at[0].set(f_u),
+                v=self.feats.v.at[0].set(f_v),
+                level=self.feats.level.at[0].set(f_lvl),
+                score=self.feats.score.at[0].set(f_sc),
+                desc=self.feats.desc.at[0].set(f_desc),
+                valid=self.feats.valid.at[0].set(f_val),
+            )
+            d2 = ((u[:, None] - f_u[None, :]) ** 2
+                  + (v[:, None] - f_v[None, :]) ** 2)
+            d2 = jnp.where(f_val[None, :], d2, jnp.inf)
+            nn = jnp.argmin(d2, axis=1)
+            kp_link = jnp.where(
+                jnp.min(d2, axis=1) <= 2.5 ** 2, nn.astype(jnp.int32), -1)
+
         points = wnd.points
         slots, write = assign_free_slots(points.status == W.PT_EMPTY, cand_ok)
         points = points._replace(
+            kp_idx=scatter_update(points.kp_idx, slots, write, kp_link),
             status=scatter_update(points.status, slots, write,
                                   jnp.full_like(slots, W.PT_ACTIVE)),
             host=scatter_update(points.host, slots, write, jnp.zeros_like(slots)),
@@ -907,7 +957,13 @@ class SLAMSystem:
         if anchor >= 2 and self.shells[anchor - 1].pose_valid:
             slast = self.shells[anchor - 1]
             sprelast = self.shells[anchor - 2]
-            T_sp = np.linalg.inv(sprelast.cam_to_world) @ slast.cam_to_world
+            if slast.relocalized or not sprelast.pose_valid:
+                # a relocalized (or recovered-from-invalid) pose is a jump,
+                # not a velocity — assume the camera is momentarily still
+                T_sp = np.eye(4)
+            else:
+                T_sp = (np.linalg.inv(sprelast.cam_to_world)
+                        @ slast.cam_to_world)
             T_ls = np.linalg.inv(slast.cam_to_world) @ ref_shell.cam_to_world
             fh2slast = T_sp  # constant motion assumption
             inv = np.linalg.inv
@@ -1025,6 +1081,8 @@ class SLAMSystem:
             # is "take predicted pose and hope", System.cpp:483-489)
             reloc = self._attempt_relocalization(shell, pyr)
             if reloc is not None:
+                self.n_relocs += 1
+                shell.relocalized = True
                 shell.cam_to_world = reloc
                 shell.tracking_ref = self.ref_shell_id
                 shell.cam_to_ref = (
@@ -1085,24 +1143,41 @@ class SLAMSystem:
         RANSAC. Returns cam_to_world (4, 4) or None."""
         if self.template is None or self.ref_slot < 0:
             return None
-        from ..ops import orb as orb_ops
         from ..ops import pnp as pnp_ops
-        from ..ops.pyramid import gaussian_blur7
 
-        ref_img = np.asarray(self.window.frames.images[self.ref_slot][..., 0])
         cur_img = pyr[0][..., 0]
+        if self.cfg.enable_indirect:
+            # hybrid layer: the reference KF's multi-scale features are
+            # already stored (extracted once in kf_step); extract the
+            # current frame's and match. Gates are looser than the window
+            # matcher's — PnP RANSAC downstream rejects false matches.
+            from ..ops import features as ft
+            ku = self.feats.u[self.ref_slot]
+            kv = self.feats.v[self.ref_slot]
+            kval = self.feats.valid[self.ref_slot]
+            kdesc = self.feats.desc[self.ref_slot]
+            cu, cv, _, _, cdesc, cval = self._extract_feats(cur_img)
+            idx, ok = ft.match_pair(kdesc, kval, cdesc, cval,
+                                    max_dist=80, ratio=0.9)
+        else:
+            from ..ops import orb as orb_ops
+            from ..ops.pyramid import gaussian_blur7
 
-        def feats(img):
-            score = orb_ops.fast_score(img, float(self.cfg.min_th_fast))
-            u, v, valid = orb_ops.grid_nms(score, 8, 512)
-            ang = orb_ops.ic_angle(img, u, v)
-            return u, v, valid, orb_ops.rbrief(gaussian_blur7(img), u, v, ang)
+            ref_img = np.asarray(
+                self.window.frames.images[self.ref_slot][..., 0])
 
-        ku, kv, kval, kdesc = feats(jnp.asarray(ref_img))
-        cu, cv, cval, cdesc = feats(cur_img)
-        idx, ok = orb_ops.match_descriptors(kdesc, cdesc,
-                                            valid_a=kval, valid_b=cval)
-        if int(np.asarray(ok).sum()) < 20:
+            def feats(img):
+                score = orb_ops.fast_score(img, float(self.cfg.min_th_fast))
+                u, v, valid = orb_ops.grid_nms(score, 8, 512)
+                ang = orb_ops.ic_angle(img, u, v)
+                return u, v, valid, orb_ops.rbrief(
+                    gaussian_blur7(img), u, v, ang)
+
+            ku, kv, kval, kdesc = feats(jnp.asarray(ref_img))
+            cu, cv, cval, cdesc = feats(cur_img)
+            idx, ok = orb_ops.match_descriptors(kdesc, cdesc,
+                                                valid_a=kval, valid_b=cval)
+        if int(np.asarray(ok).sum()) < 15:
             return None
 
         # lift ref keypoints to 3D via nearest template point (<= 3 px)
@@ -1153,6 +1228,12 @@ class SLAMSystem:
 
     def _need_keyframe(self, shell: Shell) -> bool:
         cfg = self.cfg
+        if shell.relocalized:
+            # re-anchor the map at the recovered pose/appearance immediately:
+            # direct tracking against the pre-loss reference keeps failing if
+            # the loss was caused by an appearance change (the flow/affine
+            # indicators below can't see it — reloc bypasses the tracker)
+            return True
         flow = self._last_flow
         a_rel = np.exp(shell.aff[0] - self.ref_aff[0]) * (
             shell.exposure / max(self.ref_exposure, 1e-6)
@@ -1231,8 +1312,8 @@ class SLAMSystem:
         _t1 = _time.perf_counter()
 
         Twc = np.linalg.inv(shell.cam_to_world)
-        window, calib, imm, template, result, bundle = self._kf_step(
-            self.window, self.calib, self.imm, tuple(pyr),
+        window, calib, imm, feats, template, result, bundle = self._kf_step(
+            self.window, self.calib, self.imm, self.feats, tuple(pyr),
             jnp.asarray(Twc[:3, :3], jnp.float32),
             jnp.asarray(Twc[:3, 3], jnp.float32),
             jnp.asarray(shell.aff, jnp.float32),
@@ -1244,6 +1325,7 @@ class SLAMSystem:
         )
         _t2 = _time.perf_counter()
         self.window, self.calib, self.imm = window, calib, imm
+        self.feats = feats
         self._K_pyr_cache = self._k_pyr(self.calib.value)
         self.slot_shell[slot] = shell.id
         self.kf_shell_ids.append(shell.id)
@@ -1292,6 +1374,7 @@ class SLAMSystem:
         self._m_nact_host = np.asarray(b.n_active_host, np.int64)
         self._m_nimm_host = np.asarray(b.n_imm_host, np.int64)
         self._m_n_active = int(b.n_active)
+        self.ind_obs_history.append(int(b.n_ind))
         for s in range(F):
             if flag_mask[s]:
                 self.slot_shell[s] = None
@@ -1372,16 +1455,24 @@ class SLAMSystem:
 
     # ---------------------------------------------------- loop closure
     def _loop_closure_step(self, slot: int, shell: Shell, pyr):
-        from ..ops import orb as orb_ops
         from ..ops import bow as bow_ops
-        from ..ops.pyramid import gaussian_blur7
         from .loop_closure import LoopCloser
 
-        img = pyr[0][..., 0]
-        score = orb_ops.fast_score(img, float(self.cfg.min_th_fast))
-        u, v, valid = orb_ops.grid_nms(score, 8, 512)
-        ang = orb_ops.ic_angle(img, u, v)
-        desc = orb_ops.rbrief(gaussian_blur7(img), u, v, ang)
+        if self.cfg.enable_indirect:
+            # consume the keyframe's stored multi-scale features (extracted
+            # once in kf_step) — one small device->host pull
+            u = self.feats.u[slot]
+            v = self.feats.v[slot]
+            valid = self.feats.valid[slot]
+            desc = self.feats.desc[slot]
+        else:
+            from ..ops import orb as orb_ops
+            from ..ops.pyramid import gaussian_blur7
+            img = pyr[0][..., 0]
+            score = orb_ops.fast_score(img, float(self.cfg.min_th_fast))
+            u, v, valid = orb_ops.grid_nms(score, 8, 512)
+            ang = orb_ops.ic_angle(img, u, v)
+            desc = orb_ops.rbrief(gaussian_blur7(img), u, v, ang)
 
         # lift keypoints to inverse depths via the (just rebuilt) tracker
         # template of this keyframe — feeds the PnP loop-edge estimation
@@ -1394,7 +1485,11 @@ class SLAMSystem:
             self._pending_entries.append(entry)
             if len(self._vocab_descs) >= 8:
                 pool = np.concatenate(self._vocab_descs)
-                voc = bow_ops.train_vocabulary(pool, k=8, levels=3, iters=4)
+                doc_ids = np.concatenate([
+                    np.full(len(d), i, np.int32)
+                    for i, d in enumerate(self._vocab_descs)])
+                voc = bow_ops.train_vocabulary(pool, k=8, levels=3, iters=4,
+                                               doc_ids=doc_ids)
                 self.loop_closer = LoopCloser(voc, min_gap=10)
                 # backfill the keyframes that fed the vocabulary — without
                 # them the revisit has nothing to match against
@@ -1422,23 +1517,67 @@ class SLAMSystem:
             return
         corrections = self.loop_closer.correct(loop, fix_scale=False)
         self.n_loops_closed += 1
-        # re-anchor shells; window evalPTs follow their shells (HM/bM stay —
-        # the correction is near-rigid for the active window's recent part)
-        by_shell = dict(corrections)
-        for sh in self.shells:
-            if sh.id in by_shell:
-                sh.cam_to_world = by_shell[sh.id]
+        self._apply_loop_correction(dict(corrections))
+
+    def _apply_loop_correction(self, by_shell: dict):
+        """Re-anchor trajectory + window after a pose-graph correction.
+
+        The active window gets ONE common gauge transform G — the newest
+        window keyframe's correction — applied to every window frame:
+        c2w' = G @ c2w, i.e. worldToCam' = worldToCam @ G^-1. A common
+        right-composition leaves every relative pose (and the idepths)
+        untouched, so the photometric residuals AND the marginalization
+        prior HM/bM stay exactly consistent; the absolute shift lives in
+        the gauge nullspace the solver orthogonalizes anyway. (Per-KF
+        corrections inside the window would move the evalPTs relative to
+        each other and silently invalidate HM/bM.)"""
         frames = self.window.frames
-        for s in range(self.cfg.max_frames):
-            sid = self.slot_shell[s]
-            if sid is not None and sid in by_shell and bool(frames.valid[s]):
-                Twc = np.linalg.inv(by_shell[sid])
-                frames = frames._replace(
-                    evalpt_R=frames.evalpt_R.at[s].set(
-                        jnp.asarray(Twc[:3, :3], jnp.float32)),
-                    evalpt_t=frames.evalpt_t.at[s].set(
-                        jnp.asarray(Twc[:3, 3], jnp.float32)),
-                )
+        valid_np = np.asarray(frames.valid)
+        win_sids = {
+            self.slot_shell[s]
+            for s in range(self.cfg.max_frames)
+            if valid_np[s] and self.slot_shell[s] is not None
+        }
+        anchor_sid = None
+        for sid in sorted(win_sids, reverse=True):
+            if sid in by_shell:
+                anchor_sid = sid
+                break
+        if anchor_sid is not None:
+            G = by_shell[anchor_sid] @ np.linalg.inv(
+                self.shells[anchor_sid].cam_to_world)
+        else:
+            G = np.eye(4)
+        G_inv = np.linalg.inv(G)
+        Rg = jnp.asarray(G_inv[:3, :3], jnp.float32)
+        tg = jnp.asarray(G_inv[:3, 3], jnp.float32)
+
+        corrected = set()
+        for sh in self.shells:
+            if sh.id in win_sids:
+                sh.cam_to_world = G @ sh.cam_to_world
+                corrected.add(sh.id)
+            elif sh.id in by_shell:
+                sh.cam_to_world = by_shell[sh.id]
+                corrected.add(sh.id)
+        # non-keyframe shells ride their tracking reference through the
+        # correction (cam_to_world = ref_c2w @ cam_to_ref, Frame.h:75-114)
+        ref_c2w = {sh.id: sh.cam_to_world for sh in self.shells
+                   if sh.id in corrected}
+        for sh in self.shells:
+            if sh.id not in corrected and sh.tracking_ref in ref_c2w:
+                sh.cam_to_world = ref_c2w[sh.tracking_ref] @ sh.cam_to_ref
+
+        # evalPT' = evalPT @ G^-1, batched over valid slots; the per-frame
+        # state deltas are relative to evalPT and stay valid
+        m = frames.valid[:, None, None]
+        new_R = jnp.einsum("fij,jk->fik", frames.evalpt_R, Rg)
+        new_t = (jnp.einsum("fij,j->fi", frames.evalpt_R, tg)
+                 + frames.evalpt_t)
+        frames = frames._replace(
+            evalpt_R=jnp.where(m, new_R, frames.evalpt_R),
+            evalpt_t=jnp.where(m[:, :, 0], new_t, frames.evalpt_t),
+        )
         self.window = self.window._replace(frames=frames)
 
     # ------------------------------------------------------- KF sub-steps
@@ -1512,6 +1651,8 @@ class SLAMSystem:
         cfg = self.cfg
         self.window = W.empty_window(cfg, self.height, self.width)
         self.imm = KS.empty_imm(cfg)
+        from ..ops import features as FT
+        self.feats = FT.empty_feats(cfg.max_frames, cfg.max_kf_features)
         self._m_valid[:] = False
         self._m_kfid[:] = -1
         self._m_nact_host[:] = 0

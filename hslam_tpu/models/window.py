@@ -66,6 +66,17 @@ class Points(NamedTuple):
     max_rel_baseline: jnp.ndarray  # (P,)
     num_good_res: jnp.ndarray      # (P,) int32
     idepth_hessian: jnp.ndarray    # (P,) H_dd + prior, for marg gating
+    # --- hybrid indirect layer: keypoint-hosted points carry a link to
+    # their host keyframe's feature table (kp_idx; -1 for gradient-selected
+    # points) and per-target-frame matched-keypoint observations that enter
+    # the window BA as reprojection factors (the reference hosts its point
+    # candidates on detector keypoints, Src/Detector.cpp:56-67 +
+    # Include/MapPoint.h pattern/descriptor coupling).
+    kp_idx: jnp.ndarray       # (P,) int32 index into host Feats row; -1 none
+    ind_u: jnp.ndarray        # (P, F) matched keypoint x in target frame
+    ind_v: jnp.ndarray        # (P, F)
+    ind_w: jnp.ndarray        # (P, F) information weight (octave sigma^-2)
+    ind_valid: jnp.ndarray    # (P, F) bool — a match exists for this pair
 
 
 class Window(NamedTuple):
@@ -108,6 +119,11 @@ def empty_window(cfg: Config, height: int, width: int) -> Window:
         max_rel_baseline=jnp.zeros(P, jnp.float32),
         num_good_res=jnp.zeros(P, jnp.int32),
         idepth_hessian=jnp.zeros(P, jnp.float32),
+        kp_idx=jnp.full(P, -1, jnp.int32),
+        ind_u=jnp.zeros((P, F), jnp.float32),
+        ind_v=jnp.zeros((P, F), jnp.float32),
+        ind_w=jnp.zeros((P, F), jnp.float32),
+        ind_valid=jnp.zeros((P, F), bool),
     )
     return Window(
         frames=frames,

@@ -120,6 +120,14 @@ class Linearization(NamedTuple):
     win_miss: jnp.ndarray    # (P, F) bool: residual OOB'd only because a
                              # pattern tap left its gather window (window-
                              # table path only; all-False on the packed path)
+    # --- indirect (reprojection) factors: matched-keypoint observations of
+    # the point in target frames (hybrid layer). Residual = current-state
+    # center projection minus the detected keypoint; the FEJ pixel Jacobians
+    # Jpdc/Jpdxi/Jpdd above apply to these rows directly.
+    ind_res: jnp.ndarray     # (P, F, 2) pixel residual (x, y)
+    ind_wgt: jnp.ndarray     # (P, F) huber-damped information weight
+    ind_ok: jnp.ndarray      # (P, F) bool — usable this linearization
+    ind_energy: jnp.ndarray  # (P, F) robust reprojection energy
 
 
 # ---------------------------------------------------------------------------
@@ -463,12 +471,33 @@ def linearize(
     ).astype(jnp.int32)
     energy_raw = jnp.where(oob, -1.0, energy_raw)
 
+    # --- indirect reprojection factors (hybrid layer): residual between the
+    # current-state center projection and the matched detector keypoint.
+    # Same FEJ pixel Jacobians as the photometric rows; Huber in pixels.
+    center_ok = (
+        (z[..., 4] > 0) & fej_ok
+        & (center_u > 1.1) & (center_v > 1.1)
+        & (center_u < Ww - 3) & (center_v < Hh - 3)
+    )
+    ind_rx = center_u - points.ind_u
+    ind_ry = center_v - points.ind_v
+    ind_e2 = ind_rx * ind_rx + ind_ry * ind_ry
+    ind_r = jnp.sqrt(jnp.maximum(ind_e2, 1e-20))
+    ihw = jnp.where(ind_r < cfg.indirect_huber_px, 1.0,
+                    cfg.indirect_huber_px / ind_r)
+    ind_wgt = points.ind_w * ihw
+    ind_ok = (points.ind_valid & center_ok
+              & (ind_r < cfg.indirect_gate_px))
+    ind_energy = points.ind_w * ihw * ind_e2 * (2.0 - ihw)
+
     return Linearization(
         Jpdc=Jpdc, Jpdxi=Jpdxi, Jpdd=Jpdd,
         JIdx=JIdx, JabF=JabF, resF=resF,
         energy=energy, energy_raw=energy_raw, new_state=new_state,
         center_u=center_u, center_v=center_v, center_idepth=center_idepth,
         rel_bs=rel_bs, win_miss=win_miss,
+        ind_res=jnp.stack([ind_rx, ind_ry], axis=-1),
+        ind_wgt=ind_wgt, ind_ok=ind_ok, ind_energy=ind_energy,
     )
 
 
@@ -493,6 +522,7 @@ def accumulate(
     AH: jnp.ndarray,          # (F, F, 8, 8)
     AT: jnp.ndarray,
     n_frames: int,
+    ind_active: jnp.ndarray | None = None,   # (P, F) bool — indirect factors
 ) -> GNSystem:
     """Assemble the absolute GN system from factored Jacobians.
 
@@ -503,6 +533,13 @@ def accumulate(
     the (D, D) absolute system (stitchDoubleInternal,
     AccumulatedTopHessian.cpp:148-280). This avoids materializing any
     (P, F, 4, D) absolute basis — the largest intermediate is (P, F, 12, 12).
+
+    `ind_active` enables the hybrid reprojection factors of `lin.ind_res`:
+    they live on the pixel rows (0, 1) of the same 4-row basis (their
+    Jacobian IS the pixel Jacobian), so they enter as diagonal additions to
+    the per-residual normal-matrix M and gradient mvec — everything
+    downstream (pair blocks, adjoint stitch, Schur scalars, idepth cross
+    rows) handles them with no further changes.
     """
     P, F = active.shape
     D = CPARS + 8 * F
@@ -525,6 +562,14 @@ def accumulate(
     # mask inactive residuals
     Mw = M * m[..., None, None]
     mw = mvec * m[..., None]
+
+    # indirect reprojection factors: w on the pixel-row diagonal, w*res in
+    # the pixel rows of the gradient
+    if ind_active is not None:
+        iw = lin.ind_wgt * ind_active.astype(jnp.float32)
+        Mw = Mw.at[..., 0, 0].add(iw).at[..., 1, 1].add(iw)
+        mw = (mw.at[..., 0].add(iw * lin.ind_res[..., 0])
+                .at[..., 1].add(iw * lin.ind_res[..., 1]))
 
     # per-residual relative blocks, then group by host slot
     MB = jnp.einsum("pfab,pfbj->pfaj", Mw, B)                   # (P, F, 4, 12)
@@ -824,6 +869,8 @@ def accumulate_frozen(
         new_state=jnp.zeros((P, F), jnp.int32),
         center_u=zeros_pf, center_v=zeros_pf, center_idepth=zeros_pf,
         rel_bs=zeros_pf, win_miss=frozen.is_linearized & False,
+        ind_res=jnp.zeros((P, F, 2), jnp.float32), ind_wgt=zeros_pf,
+        ind_ok=frozen.is_linearized & False, ind_energy=zeros_pf,
     )
     return accumulate(lin, frozen.is_linearized, host, AH, AT, n_frames)
 

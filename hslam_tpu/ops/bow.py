@@ -50,10 +50,15 @@ def _majority_centroid(descs: np.ndarray, mask: np.ndarray) -> np.ndarray:
 
 
 def train_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 3,
-                     iters: int = 8, seed: int = 0) -> Vocabulary:
+                     iters: int = 8, seed: int = 0,
+                     doc_ids: np.ndarray | None = None) -> Vocabulary:
     """Host-side k-medians tree training (one-off; numpy).
 
     descriptors: (N, 8) uint32. Returns a Vocabulary with k^levels words.
+    `doc_ids` (N,) optionally assigns each training descriptor to a document
+    (keyframe/image); when given, per-word idf = log(n_docs / n_docs_with_word)
+    is computed the DBoW3 way (TF_IDF weighting, ScoringObject); without it
+    idf stays uniform (tf-only scoring).
     """
     rng = np.random.RandomState(seed)
     N = len(descriptors)
@@ -106,14 +111,46 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 3,
                 new_groups[path + (j,)] = idx[assign == j]
         groups = new_groups
 
-    # idf from training data as one document per... uniform for now; the
-    # database recomputes idf online as keyframes arrive.
+    n_words = k ** levels
+    idf = np.ones(n_words, np.float32)
+    if doc_ids is not None and N > 0:
+        voc_tmp = Vocabulary(
+            centroids=jnp.asarray(cents), k=k, levels=levels,
+            n_words=n_words, idf=jnp.ones(n_words, jnp.float32))
+        words = np.asarray(
+            quantize(voc_tmp, jnp.asarray(descriptors),
+                     jnp.ones(N, bool)))
+        docs = np.asarray(doc_ids)
+        n_docs = len(np.unique(docs))
+        # docs containing each word (presence, not frequency — DBoW3 Ni)
+        seen = np.unique(np.stack([words, docs], 1), axis=0)
+        ni = np.bincount(seen[:, 0], minlength=n_words)
+        idf = np.where(
+            ni > 0, np.log(n_docs / np.maximum(ni, 1)), 0.0
+        ).astype(np.float32)
     voc = Vocabulary(
         centroids=jnp.asarray(cents),
-        k=k, levels=levels, n_words=k ** levels,
-        idf=jnp.ones(k ** levels, jnp.float32),
+        k=k, levels=levels, n_words=n_words,
+        idf=jnp.asarray(idf),
     )
     return voc
+
+
+def save_vocabulary(path: str, voc: Vocabulary) -> None:
+    """Persist a trained vocabulary (the reference takes a DBoW3 vocabulary
+    file as a mandatory CLI argument, Main.h:81 — this is our equivalent)."""
+    np.savez_compressed(
+        path, centroids=np.asarray(voc.centroids), k=voc.k,
+        levels=voc.levels, idf=np.asarray(voc.idf))
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    data = np.load(path)
+    k = int(data["k"])
+    levels = int(data["levels"])
+    return Vocabulary(
+        centroids=jnp.asarray(data["centroids"]), k=k, levels=levels,
+        n_words=k ** levels, idf=jnp.asarray(data["idf"]))
 
 
 def quantize(voc: Vocabulary, descs: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -136,12 +173,16 @@ def quantize(voc: Vocabulary, descs: jnp.ndarray, valid: jnp.ndarray) -> jnp.nda
     return jnp.where(valid, node, -1)
 
 
-def bow_vector(word_ids: jnp.ndarray, n_words: int) -> jnp.ndarray:
-    """tf vector (n_words,) normalized to L1=1."""
+def bow_vector(word_ids: jnp.ndarray, n_words: int,
+               idf: jnp.ndarray | None = None) -> jnp.ndarray:
+    """tf (or tf-idf when `idf` is given) vector (n_words,), L1-normalized.
+    DBoW3 TF_IDF weighting + L1_NORM (ScoringObject.cpp)."""
     oh = jax.nn.one_hot(jnp.where(word_ids >= 0, word_ids, 0), n_words)
     oh = oh * (word_ids >= 0)[:, None]
     v = jnp.sum(oh, axis=0)
-    return v / jnp.maximum(jnp.sum(v), 1.0)
+    if idf is not None:
+        v = v * idf
+    return v / jnp.maximum(jnp.sum(v), 1e-9)
 
 
 def l1_score(v: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:

@@ -35,6 +35,8 @@ def _points_spec() -> W.Points:
         prior=P("points"), res_state=P("points", None),
         max_rel_baseline=P("points"), num_good_res=P("points"),
         idepth_hessian=P("points"),
+        kp_idx=P("points"), ind_u=P("points", None), ind_v=P("points", None),
+        ind_w=P("points", None), ind_valid=P("points", None),
     )
 
 
@@ -92,14 +94,7 @@ def sharded_ba_step(mesh: Mesh, wnd: W.Window, calib: Calib, cfg: Config):
     Returns (rmse, new frame states, idepth steps)."""
     F = cfg.max_frames
 
-    pts_spec = W.Points(
-        status=P("points"), host=P("points"), u=P("points"), v=P("points"),
-        idepth=P("points"), idepth_zero=P("points"),
-        color=P("points", None), weight=P("points", None),
-        prior=P("points"), res_state=P("points", None),
-        max_rel_baseline=P("points"), num_good_res=P("points"),
-        idepth_hessian=P("points"),
-    )
+    pts_spec = _points_spec()
     @partial(
         shard_map,
         mesh=mesh,

@@ -91,6 +91,10 @@ def main():
                     help="enable BoW loop closure + pose-graph correction")
     ap.add_argument("--loop-trajectory", action="store_true",
                     help="synthetic: fly a closed loop that revisits the start")
+    ap.add_argument("--vocab", type=str, default=None,
+                    help="offline-trained BoW vocabulary .npz "
+                         "(scripts/train_vocab.py); the reference's "
+                         "mandatory vocabulary argument (Main.h:81)")
     args = ap.parse_args()
 
     from hslam_tpu.config import Config
@@ -103,7 +107,8 @@ def main():
         cfg = Config(max_frames=8, max_points=2048, max_immature=2048,
                      max_features=2048, pyr_levels=4)
         sys_ = SLAMSystem(fx, fy, cx, cy, w, h, cfg,
-                          enable_loop_closure=args.loop_closure)
+                          enable_loop_closure=args.loop_closure,
+                          vocab_path=args.vocab)
         t0 = time.time()
         for i, img in enumerate(frames):
             sys_.process_frame(img, i / 30.0)
@@ -139,7 +144,8 @@ def main():
         K = cam.out_K
         cfg = Config()
         sys_ = SLAMSystem(K[0, 0], K[1, 1], K[0, 2], K[1, 2],
-                          cam.out_size[0], cam.out_size[1], cfg)
+                          cam.out_size[0], cam.out_size[1], cfg,
+                          vocab_path=args.vocab)
         import jax.numpy as jnp
         from hslam_tpu.ops.undistort import remap_image, photometric_correct
 

@@ -316,6 +316,157 @@ class TestAccumulate:
                                    atol=1e-4 * max(np.abs(g).max(), 1.0))
 
 
+class TestIndirectFactors:
+    def test_indirect_dense_assembly_parity(self):
+        """The hybrid reprojection factors enter H, b, Hdd, bd, g exactly as
+        2-row dense residuals on the pixel Jacobians (f64 numpy assembly)."""
+        wnd, calib, cfg = make_synthetic_window()
+        frames, points = wnd.frames, wnd.points
+        F, P = cfg.max_frames, cfg.max_points
+        D = CPARS + 8 * F
+
+        # synthesize matched-keypoint observations near the true projections
+        lin0 = ba.linearize(frames, points, calib, cfg)
+        key = jax.random.PRNGKey(11)
+        noise = jax.random.normal(key, (P, F, 2)) * 0.8
+        ind_u = lin0.center_u + noise[..., 0]
+        ind_v = lin0.center_v + noise[..., 1]
+        ind_valid = jax.random.uniform(jax.random.fold_in(key, 1), (P, F)) < 0.6
+        points = points._replace(
+            ind_u=ind_u.astype(jnp.float32), ind_v=ind_v.astype(jnp.float32),
+            ind_w=jnp.full((P, F), 25.0, jnp.float32), ind_valid=ind_valid,
+        )
+        wnd = wnd._replace(points=points)
+
+        lin = ba.linearize(frames, points, calib, cfg)
+        grid = (
+            (points.status == W.PT_ACTIVE)[:, None]
+            & frames.valid[None, :]
+            & (points.host[:, None] != jnp.arange(F)[None, :])
+        )
+        active = grid & (lin.new_state == W.RES_IN)
+        ind_active = lin.ind_ok & grid
+        assert int(jnp.sum(ind_active)) > 20, "fixture must exercise factors"
+        AH, AT = ba.compute_adjoints(frames)
+        sys0 = ba.accumulate(lin, active, points.host, AH, AT, F)
+        sys1 = ba.accumulate(lin, active, points.host, AH, AT, F,
+                             ind_active=ind_active)
+
+        # dense f64 assembly of ONLY the indirect contribution
+        AHn = np.asarray(AH, np.float64)
+        ATn = np.asarray(AT, np.float64)
+        host = np.asarray(points.host)
+        ia = np.asarray(ind_active)
+        Jpdc = np.asarray(lin.Jpdc, np.float64)
+        Jpdxi = np.asarray(lin.Jpdxi, np.float64)
+        Jpdd = np.asarray(lin.Jpdd, np.float64)
+        res = np.asarray(lin.ind_res, np.float64)
+        wgt = np.asarray(lin.ind_wgt, np.float64)
+
+        H = np.zeros((D, D))
+        b = np.zeros(D)
+        Hdd = np.zeros(P)
+        bd = np.zeros(P)
+        g = np.zeros((P, D))
+        for p in range(P):
+            hs = host[p]
+            for f in range(F):
+                if not ia[p, f]:
+                    continue
+                J_abs = np.zeros((2, D))
+                J_abs[:, :CPARS] = Jpdc[p, f]
+                J_rel = np.zeros((2, 8))
+                J_rel[:, :6] = Jpdxi[p, f]
+                J_abs[:, CPARS + 8 * hs: CPARS + 8 * hs + 8] += J_rel @ AHn[hs, f].T
+                J_abs[:, CPARS + 8 * f: CPARS + 8 * f + 8] += J_rel @ ATn[hs, f].T
+                w = wgt[p, f]
+                r = res[p, f]
+                H += w * J_abs.T @ J_abs
+                b += w * J_abs.T @ r
+                Hdd[p] += w * Jpdd[p, f] @ Jpdd[p, f]
+                bd[p] += w * Jpdd[p, f] @ r
+                g[p] += w * J_abs.T @ Jpdd[p, f]
+
+        dH = np.asarray(sys1.H, np.float64) - np.asarray(sys0.H, np.float64)
+        db = np.asarray(sys1.b, np.float64) - np.asarray(sys0.b, np.float64)
+        dHdd = np.asarray(sys1.Hdd, np.float64) - np.asarray(sys0.Hdd, np.float64)
+        dbd = np.asarray(sys1.bd, np.float64) - np.asarray(sys0.bd, np.float64)
+        dg = np.asarray(sys1.g, np.float64) - np.asarray(sys0.g, np.float64)
+
+        np.testing.assert_allclose(dH, H, atol=3e-4 * max(np.abs(H).max(), 1.0))
+        np.testing.assert_allclose(db, b, atol=3e-4 * max(np.abs(b).max(), 1.0))
+        np.testing.assert_allclose(dHdd, Hdd, atol=2e-4 * max(np.abs(Hdd).max(), 1.0))
+        np.testing.assert_allclose(dbd, bd, atol=2e-4 * max(np.abs(bd).max(), 1.0))
+        np.testing.assert_allclose(dg, g, atol=2e-4 * max(np.abs(g).max(), 1.0))
+
+    def test_indirect_huber_and_gate(self):
+        """Residuals beyond the gate are dropped; beyond the Huber threshold
+        they are downweighted by th/|r|."""
+        wnd, calib, cfg = make_synthetic_window()
+        frames, points = wnd.frames, wnd.points
+        P, F = cfg.max_points, cfg.max_frames
+        lin0 = ba.linearize(frames, points, calib, cfg)
+        # observation exactly 4 px off in x -> huber-damped but inside gate;
+        # 20 px off -> gated out
+        ind_u = lin0.center_u - 4.0
+        points4 = points._replace(
+            ind_u=ind_u, ind_v=lin0.center_v,
+            ind_w=jnp.ones((P, F)), ind_valid=jnp.ones((P, F), bool))
+        lin4 = ba.linearize(frames, points4, calib, cfg)
+        ok4 = np.asarray(lin4.ind_ok)
+        w4 = np.asarray(lin4.ind_wgt)
+        assert ok4.any()
+        np.testing.assert_allclose(w4[ok4], cfg.indirect_huber_px / 4.0,
+                                   rtol=1e-5)
+        points20 = points4._replace(ind_u=lin0.center_u - 20.0)
+        lin20 = ba.linearize(frames, points20, calib, cfg)
+        assert not np.asarray(lin20.ind_ok).any()
+
+    def test_indirect_improves_pose_recovery(self):
+        """A window with perturbed poses converges tighter with indirect
+        factors than without when the photometric signal is weak (flat
+        texture regions) — the hybrid premise."""
+        from hslam_tpu.models.optimizer import ba_optimize
+
+        pert = (jax.random.normal(jax.random.PRNGKey(3), (4, 8))
+                * jnp.array([0.02] * 3 + [0.004] * 3 + [0.0, 0.0]))
+        pert = pert.at[0].set(0.0)
+        wnd, calib, cfg, (R_gt, t_gt) = make_rendered_window(pert=pert)
+        frames, points = wnd.frames, wnd.points
+        P, F = cfg.max_points, cfg.max_frames
+
+        # ground-truth keypoint observations: project points at TRUE poses
+        fr_gt = frames._replace(state=jnp.zeros((F, 8), jnp.float32))
+        lin_gt = ba.linearize(fr_gt, points, calib, cfg)
+        points = points._replace(
+            ind_u=lin_gt.center_u, ind_v=lin_gt.center_v,
+            ind_w=jnp.full((P, F), 25.0), ind_valid=jnp.ones((P, F), bool))
+        wnd_ind = wnd._replace(points=points)
+        wnd_no = wnd._replace(points=points._replace(
+            ind_valid=jnp.zeros((P, F), bool)))
+
+        def mean_reproj_err(result):
+            """Mean |GT-keypoint reprojection error| at the BA result —
+            gauge-invariant measure of geometric consistency."""
+            w2 = result.window
+            pts_eval = w2.points._replace(
+                ind_u=lin_gt.center_u, ind_v=lin_gt.center_v,
+                ind_w=jnp.ones((P, F)), ind_valid=jnp.ones((P, F), bool))
+            lin = ba.linearize(w2.frames, pts_eval, result.calib, cfg)
+            r = jnp.linalg.norm(lin.ind_res, axis=-1)
+            m = lin.ind_ok
+            return float(jnp.sum(jnp.where(m, r, 0.0)) / jnp.sum(m))
+
+        res_ind = ba_optimize(wnd_ind, calib, cfg, 10)
+        res_no = ba_optimize(wnd_no, calib, cfg, 10)
+        assert np.isfinite(res_ind.rmse)
+        e_ind = mean_reproj_err(res_ind)
+        e_no = mean_reproj_err(res_no)
+        assert e_ind < e_no, (
+            f"indirect factors must tighten geometry: {e_ind} !< {e_no}")
+        assert e_ind < 0.5, f"reprojection error too large: {e_ind}"
+
+
 class TestSchur:
     def test_schur_equals_dense_elimination(self):
         """H_sc/b_sc/resubstitute consistent with eliminating idepths from

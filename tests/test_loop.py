@@ -35,6 +35,43 @@ class TestBow:
         v2 = bow_vector(words2, voc.n_words)
         assert float(l1_score(v1, v2[None])[0]) < 0.95
 
+    def test_idf_weighting_and_save_load(self, tmp_path):
+        """tf-idf: a word present in every training document gets idf 0 and
+        stops dominating the score (DBoW3 TF_IDF weighting); vocabularies
+        round-trip through save/load."""
+        from hslam_tpu.ops.bow import (
+            bow_vector, load_vocabulary, quantize, save_vocabulary,
+            train_vocabulary,
+        )
+
+        key = jax.random.PRNGKey(2)
+        # 6 documents of 12 descriptors over a 36-word vocabulary, so most
+        # words appear in only a few documents; document 0's first
+        # descriptor is replicated into every document (a ubiquitous word)
+        pool = np.array(random_descs(key, 72))
+        for d in range(1, 6):
+            pool[d * 12] = pool[0]
+        doc_ids = np.repeat(np.arange(6), 12)
+        voc = train_vocabulary(pool, k=6, levels=2, iters=4, doc_ids=doc_ids)
+        idf = np.asarray(voc.idf)
+        assert (idf >= 0).all() and idf.max() > 0
+        w_ubiq = int(quantize(voc, jnp.asarray(pool[:1]), jnp.ones(1, bool))[0])
+        # the ubiquitous word appears in all 6 docs -> idf == log(6/6) == 0
+        np.testing.assert_allclose(idf[w_ubiq], 0.0, atol=1e-6)
+
+        words = quantize(voc, jnp.asarray(pool[:12]), jnp.ones(12, bool))
+        v_tfidf = np.asarray(bow_vector(words, voc.n_words, idf=voc.idf))
+        assert v_tfidf[w_ubiq] == 0.0
+        np.testing.assert_allclose(v_tfidf.sum(), 1.0, atol=1e-5)
+
+        path = str(tmp_path / "voc.npz")
+        save_vocabulary(path, voc)
+        voc2 = load_vocabulary(path)
+        np.testing.assert_array_equal(
+            np.asarray(voc.centroids), np.asarray(voc2.centroids))
+        np.testing.assert_allclose(np.asarray(voc2.idf), idf)
+        assert voc2.n_words == voc.n_words
+
     def test_similar_images_score_higher(self):
         """Perturbing a few descriptor bits must keep the BoW score high."""
         from hslam_tpu.ops.bow import bow_vector, l1_score, quantize, train_vocabulary
@@ -154,6 +191,116 @@ class TestPoseGraph:
         assert gap_after < 0.3 * gap_before, (gap_before, gap_after)
         # scales pinned
         np.testing.assert_allclose(np.asarray(s_n), 1.0, atol=1e-4)
+
+
+def _build_circle_sim3(N, scale_drift=1.0002, noise=0.01, seed=0,
+                       loop_w=50.0):
+    """Strasdat-style fixture: drifted Sim3 odometry around a circle (per-step
+    multiplicative scale drift + SE3 noise), sequential edges measured from
+    the drifted estimates (self-consistent), one ground-truth loop edge with
+    scale 1 between the last and first node."""
+    from hslam_tpu.models.pose_graph import make_graph
+    from scipy.spatial.transform import Rotation as Rot
+
+    rng = np.random.RandomState(seed)
+    angles = np.linspace(0, 2 * np.pi, N, endpoint=False)
+    R_gt = Rot.from_rotvec(
+        np.stack([np.zeros(N), np.zeros(N), angles], 1)).as_matrix()
+    t_gt = np.stack([3 * np.cos(angles), 3 * np.sin(angles), np.zeros(N)], 1)
+    s_est = np.empty(N)
+    R_est = np.empty((N, 3, 3))
+    t_est = np.empty((N, 3))
+    s_est[0], R_est[0], t_est[0] = 1.0, R_gt[0], t_gt[0]
+    nR_all = Rot.from_rotvec(rng.randn(N, 3) * noise).as_matrix()
+    nt_all = rng.randn(N, 3) * noise * 0.5
+    for i in range(1, N):
+        Rrel = R_gt[i] @ R_gt[i - 1].T
+        trel = t_gt[i] - Rrel @ t_gt[i - 1]
+        Rr = nR_all[i] @ Rrel
+        tr = scale_drift * (nR_all[i] @ trel) + nt_all[i]
+        s_est[i] = s_est[i - 1] * scale_drift
+        R_est[i] = Rr @ R_est[i - 1]
+        t_est[i] = scale_drift * (Rr @ t_est[i - 1]) + tr
+    s_est = s_est.astype(np.float32)
+    R_est = R_est.astype(np.float32)
+    t_est = t_est.astype(np.float32)
+
+    i_idx, j_idx = np.arange(1, N), np.arange(0, N - 1)
+    si, Ri, ti = lie.sim3_inverse(
+        jnp.asarray(s_est[j_idx]), jnp.asarray(R_est[j_idx]),
+        jnp.asarray(t_est[j_idx]))
+    sij, Rij, tij = lie.sim3_mul(
+        jnp.asarray(s_est[i_idx]), jnp.asarray(R_est[i_idx]),
+        jnp.asarray(t_est[i_idx]), si, Ri, ti)
+    Rl = R_gt[N - 1] @ R_gt[0].T
+    tl = t_gt[N - 1] - Rl @ t_gt[0]
+    ei = np.concatenate([i_idx, [N - 1]])
+    ej = np.concatenate([j_idx, [0]])
+    ms = np.concatenate([np.asarray(sij), [1.0]]).astype(np.float32)
+    mR = np.concatenate([np.asarray(Rij), Rl[None]]).astype(np.float32)
+    mt = np.concatenate([np.asarray(tij), tl[None]]).astype(np.float32)
+    w = np.concatenate([np.ones(N - 1), [loop_w]]).astype(np.float32)
+    return make_graph(s_est, R_est, t_est, np.ones(N, bool), ei, ej,
+                      (ms, mR, mt), w)
+
+
+def _pg_chi2(pg, s, R, t):
+    from hslam_tpu.models.pose_graph import residuals
+    pg2 = pg._replace(s=jnp.asarray(s), R=jnp.asarray(R), t=jnp.asarray(t))
+    r = residuals(pg2, jnp.zeros((pg.s.shape[0], 7)))
+    return float(jnp.sum(r * r * pg.weight[:, None]))
+
+
+class TestSparsePoseGraph:
+    """The matrix-free PCG path (optimize_pose_graph_pcg) — KITTI-length
+    graphs, north-star config #5. Never materializes J (7E x 7N) or
+    H (7N x 7N); per-GN-iteration work/memory is O(E)."""
+
+    def test_pcg_matches_dense(self):
+        from hslam_tpu.models.pose_graph import (
+            optimize_pose_graph, optimize_pose_graph_pcg)
+
+        pg = _build_circle_sim3(40)
+        c0 = _pg_chi2(pg, pg.s, pg.R, pg.t)
+        sd, Rd, td = optimize_pose_graph(pg, n_iters=10)
+        sp, Rp, tp = optimize_pose_graph_pcg(pg, n_iters=10, cg_iters=600)
+        cd = _pg_chi2(pg, sd, Rd, td)
+        cp = _pg_chi2(pg, sp, Rp, tp)
+        assert cd < 1e-2 * c0 and cp < 1e-2 * c0
+        # per-node sim3 state agreement between the two solvers
+        si, Ri, ti = lie.sim3_inverse(
+            jnp.asarray(sp), jnp.asarray(Rp), jnp.asarray(tp))
+        se, Re, te = lie.sim3_mul(
+            jnp.asarray(sd), jnp.asarray(Rd), jnp.asarray(td), si, Ri, ti)
+        d = np.asarray(lie.sim3_log(se, Re, te))
+        assert np.abs(d).max() < 5e-3, np.abs(d).max()
+
+    def test_pcg_fix_scale_pins_sigma(self):
+        from hslam_tpu.models.pose_graph import optimize_pose_graph_pcg
+
+        pg = _build_circle_sim3(30, scale_drift=1.0)
+        s_n, R_n, t_n = optimize_pose_graph_pcg(
+            pg, n_iters=8, cg_iters=400, fix_scale=True)
+        np.testing.assert_allclose(np.asarray(s_n), 1.0, atol=1e-4)
+        assert _pg_chi2(pg, s_n, R_n, t_n) < 0.1 * _pg_chi2(
+            pg, pg.s, pg.R, pg.t)
+
+    @pytest.mark.slow
+    def test_pcg_10k_nodes_bounded_memory(self):
+        """10,000-keyframe Sim3 graph with 1.65x accumulated scale drift: the
+        dense path would need a 70k x 70k Hessian (~19 GB) — the PCG path
+        relaxes it in O(E) memory (per-edge blocks: ~4 MB) and corrects the
+        loop."""
+        from hslam_tpu.models.pose_graph import optimize_pose_graph_pcg
+
+        N = 10_000
+        pg = _build_circle_sim3(N, scale_drift=1.00005, noise=0.002)
+        c0 = _pg_chi2(pg, pg.s, pg.R, pg.t)
+        assert float(pg.s[-1]) > 1.5   # real accumulated scale drift
+        sp, Rp, tp = optimize_pose_graph_pcg(pg, n_iters=5, cg_iters=1000)
+        cp = _pg_chi2(pg, sp, Rp, tp)
+        assert cp < 1e-3 * c0, (c0, cp)
+        assert np.isfinite(np.asarray(tp)).all()
 
 
 class TestLoopCloserEndToEnd:

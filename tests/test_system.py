@@ -113,6 +113,186 @@ def test_fast_detector_path():
 
 
 @pytest.mark.slow
+def test_hybrid_beats_direct_under_gamma_flicker():
+    """The hybrid indirect layer (matched-keypoint reprojection factors in
+    the window BA — the reference's declared direct+indirect capability)
+    must (a) create live indirect observations and (b) beat direct-only ATE
+    on a scene with unmodeled nonlinear gamma flicker + sensor noise, which
+    the affine brightness model cannot absorb. Deterministic on the CPU
+    mesh (fixed seeds), measured gap hybrid 0.0182 vs direct 0.0239."""
+    from hslam_tpu.models.system import SLAMSystem
+    from hslam_tpu.io.trajectory import ate_rmse
+
+    base = dict(
+        max_frames=6, max_points=512, max_immature=512, max_features=512,
+        pyr_levels=3, init_min_matches=50, init_ransac_iters=100,
+        desired_point_density=400.0, desired_immature_density=300.0,
+        tracker_iters_per_level=(6, 10, 10),
+    )
+    I0 = make_texture()
+    gammas = [1.0 + 0.35 * np.sin(1.7 * i) for i in range(24)]
+
+    def run(cfg, noise=8.0):
+        slam = SLAMSystem(FX, FY, CX, CY, W, H, cfg)
+        gt = []
+        r2 = np.random.RandomState(7)
+        for i in range(24):
+            t = i / 10.0
+            xi = jnp.array(
+                [0.35 * np.sin(0.5 * t), 0.18 * (1 - np.cos(0.5 * t)),
+                 0.05 * t,
+                 0.015 * np.sin(0.4 * t), 0.025 * t, 0.01 * np.sin(0.3 * t)]
+            )
+            R, tt = lie.se3_exp(xi)
+            gt.append((np.asarray(R), np.asarray(tt)))
+            img = render(I0, R, tt)
+            img = (255.0 * np.clip(img / 255.0, 0, 1) ** gammas[i]
+                   + r2.randn(*img.shape) * noise)
+            slam.process_frame(np.clip(img, 0, 255), t)
+        est, gtp = [], []
+        for s in slam.shells:
+            Tcw = np.eye(4)
+            Tcw[:3, :3], Tcw[:3, 3] = gt[s.id]
+            gtp.append(np.linalg.inv(Tcw)[:3, 3])
+            est.append(s.cam_to_world[:3, 3])
+        return ate_rmse(np.array(gtp), np.array(est)), slam.ind_obs_history
+
+    ate_hybrid, obs = run(Config(**base))
+    ate_direct, _ = run(Config(**base, enable_indirect=False))
+    assert sum(obs) > 0, "hybrid layer created no indirect observations"
+    assert obs[-1] >= 10, f"too few live indirect obs at the end: {obs}"
+    assert np.isfinite(ate_hybrid) and ate_hybrid < 0.035, ate_hybrid
+    assert ate_hybrid < ate_direct, (
+        f"hybrid {ate_hybrid} did not beat direct {ate_direct}")
+
+
+@pytest.mark.slow
+def test_tracking_loss_triggers_relocalization():
+    """Kidnapped-camera recovery: after initialization, the camera teleports
+    (large pose jump outside the direct tracker's basin) with a simultaneous
+    4x exposure change (outside the affine model's sanity bound,
+    CoarseTracker.cpp:667-675 semantics) — every motion hypothesis is
+    rejected, and the BoW/PnP relocalizer (_attempt_relocalization, a
+    capability beyond the reference's "hope to recover" fallback,
+    System.cpp:483-489) must recover the pose, force a re-anchoring
+    keyframe, and resume tracking."""
+    from hslam_tpu.models.system import SLAMSystem
+    from hslam_tpu.io.trajectory import ate_rmse
+
+    cfg = Config(
+        max_frames=6, max_points=512, max_immature=512, max_features=512,
+        pyr_levels=3, init_min_matches=50, init_ransac_iters=100,
+        desired_point_density=400.0, desired_immature_density=300.0,
+        tracker_iters_per_level=(6, 10, 10),
+    )
+    slam = SLAMSystem(FX, FY, CX, CY, W, H, cfg)
+    I0 = make_texture()
+
+    def pose(i):
+        t = i / 10.0
+        xi = jnp.array(
+            [0.35 * np.sin(0.5 * t), 0.18 * (1 - np.cos(0.5 * t)), 0.05 * t,
+             0.015 * np.sin(0.4 * t), 0.025 * t, 0.01 * np.sin(0.3 * t)])
+        return lie.se3_exp(xi)
+
+    gt_all, est_all = [], []
+    for i in range(15):
+        R, tt = pose(i)
+        slam.process_frame(render(I0, R, tt), i / 10.0)
+        Tcw = np.eye(4)
+        Tcw[:3, :3], Tcw[:3, 3] = np.asarray(R), np.asarray(tt)
+        gt_all.append(np.linalg.inv(Tcw))
+        est_all.append(slam.shells[-1].cam_to_world.copy())
+    assert slam.initialized and slam.n_relocs == 0
+
+    # kidnap: persistent pose offset + 4x gain from frame 15 on
+    for i in range(15, 26):
+        dR, dt = lie.se3_exp(jnp.array([0.5, 0.25, 0.0, 0.0, 0.15, 0.0]))
+        R0, t0 = pose(i)
+        R = np.asarray(dR) @ np.asarray(R0)
+        tt = np.asarray(dR) @ np.asarray(t0) + np.asarray(dt)
+        img = render(I0, jnp.asarray(R), jnp.asarray(tt)) * 4.0
+        slam.process_frame(img, i / 10.0)
+        Tcw = np.eye(4)
+        Tcw[:3, :3], Tcw[:3, 3] = R, tt
+        gt_all.append(np.linalg.inv(Tcw))
+        est_all.append(slam.shells[-1].cam_to_world.copy())
+
+    assert slam.n_relocs >= 1, "relocalization never triggered"
+    assert not slam.is_lost
+    # tracking resumed: the tail frames have valid tracked poses
+    assert all(s.pose_valid for s in slam.shells[-5:])
+    err_full = ate_rmse(np.array([g[:3, 3] for g in gt_all]),
+                        np.array([e[:3, 3] for e in est_all]))
+    err_post = ate_rmse(np.array([g[:3, 3] for g in gt_all[17:]]),
+                        np.array([e[:3, 3] for e in est_all[17:]]))
+    assert np.isfinite(err_full) and err_full < 0.15, err_full
+    assert err_post < 0.08, err_post
+
+
+@pytest.mark.slow
+def test_large_loop_correction_keeps_ba_stable():
+    """Weak spot flagged in round 1: after a LARGE pose-graph correction the
+    marginalization prior HM/bM must stay consistent with the window's moved
+    linearization points. The window re-anchor applies one common gauge
+    transform (system._apply_loop_correction), which preserves all relative
+    poses exactly — so BA must keep converging afterwards with no ATE blowup."""
+    from hslam_tpu.models.system import SLAMSystem
+    from hslam_tpu.io.trajectory import ate_rmse
+
+    cfg = Config(
+        max_frames=6, max_points=512, max_immature=512, max_features=512,
+        pyr_levels=3, init_min_matches=50, init_ransac_iters=100,
+        desired_point_density=400.0, desired_immature_density=300.0,
+        tracker_iters_per_level=(6, 10, 10),
+    )
+    slam = SLAMSystem(FX, FY, CX, CY, W, H, cfg)
+    I0 = make_texture()
+
+    def pose(i):
+        t = i / 10.0
+        xi = jnp.array(
+            [0.35 * np.sin(0.5 * t), 0.18 * (1 - np.cos(0.5 * t)), 0.05 * t,
+             0.015 * np.sin(0.4 * t), 0.025 * t, 0.01 * np.sin(0.3 * t)])
+        return lie.se3_exp(xi)
+
+    gt_all = []
+    for i in range(15):
+        R, tt = pose(i)
+        gt_all.append((np.asarray(R), np.asarray(tt)))
+        slam.process_frame(render(I0, R, tt), i / 10.0)
+    assert slam.initialized
+    kfs_before = slam.next_kf_id
+
+    # a LARGE simulated pose-graph correction: 25 deg + |t| ~ 1.0 applied to
+    # every shell (the window re-anchor path must keep HM/bM consistent)
+    Rg, tg = lie.se3_exp(jnp.array([0.8, -0.5, 0.3, 0.25, -0.3, 0.2]))
+    G = np.eye(4)
+    G[:3, :3], G[:3, 3] = np.asarray(Rg), np.asarray(tg)
+    by_shell = {sh.id: G @ sh.cam_to_world for sh in slam.shells if sh.is_kf}
+    slam._apply_loop_correction(by_shell)
+
+    for i in range(15, 28):
+        R, tt = pose(i)
+        gt_all.append((np.asarray(R), np.asarray(tt)))
+        slam.process_frame(render(I0, R, tt), i / 10.0)
+        assert not slam.is_lost, f"lost at {i} after large correction"
+    assert slam.next_kf_id > kfs_before, "no keyframes after correction"
+
+    est, gtp = [], []
+    for s in slam.shells:
+        Tcw = np.eye(4)
+        Tcw[:3, :3], Tcw[:3, 3] = gt_all[s.id]
+        gtp.append(np.linalg.inv(Tcw)[:3, 3])
+        est.append(s.cam_to_world[:3, 3])
+        assert np.isfinite(s.cam_to_world).all()
+    # sim3 alignment absorbs the (consistent) global re-gauge: ATE must stay
+    # at clean-run levels, proving BA didn't fight an inconsistent prior
+    err = ate_rmse(np.array(gtp), np.array(est))
+    assert np.isfinite(err) and err < 0.15, err
+
+
+@pytest.mark.slow
 def test_end_to_end_pipelined_async():
     """Same scene through the lag-1 pipelined tracker + async mapping
     thread (process_frame_pipelined, sequential=False): device-side motion
