@@ -80,6 +80,8 @@ class Config:
     indirect_gate_px: float = 8.0    # hard association/activation gate
     indirect_match_max_dist: int = 64
     indirect_match_ratio: float = 0.8
+    do_subpix: bool = False         # cornerSubPix keypoint refinement
+                                    # (Detector.cpp:77-86, Settings.cpp:21)
 
     # ---- window / BA ----
     min_frames: int = 5           # Settings.cpp:57

@@ -495,7 +495,8 @@ def kf_step(
         from ..ops import features as ft
         f_u, f_v, f_lvl, f_sc, f_desc, f_val = ft.extract_multiscale(
             pyr[0][..., 0], cfg.ind_pyr_levels, cfg.max_kf_features,
-            float(cfg.min_th_fast), scale=cfg.ind_pyr_scale)
+            float(cfg.min_th_fast), scale=cfg.ind_pyr_scale,
+            do_subpix=cfg.do_subpix)
         feats = feats._replace(
             u=feats.u.at[slot].set(f_u),
             v=feats.v.at[slot].set(f_v),

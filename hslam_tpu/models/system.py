@@ -92,7 +92,8 @@ class SLAMSystem:
     def __init__(self, fx, fy, cx, cy, width, height, cfg: Config = Config(),
                  enable_loop_closure: bool = True, sequential: bool = True,
                  online_photo_calib: bool = False, photo_calib_every: int = 8,
-                 dist_mesh=None, vocab_path: str | None = None):
+                 dist_mesh=None, vocab_path: str | None = None,
+                 metrics_path: str | None = None):
         """`dist_mesh` (optional jax.sharding.Mesh with a "points" axis):
         point-shard the windowed BA + point marginalization across the mesh
         devices (psum-reduced camera systems over ICI; parallel/dist_ba.py).
@@ -102,7 +103,12 @@ class SLAMSystem:
         ops.bow.save_vocabulary / scripts/train_vocab.py) — the equivalent
         of the reference's mandatory vocabulary CLI argument (Main.h:81).
         Without it, a vocabulary is trained online from the first 8
-        keyframes (adequate for a single scene; offline wins on recall)."""
+        keyframes (adequate for a single scene; offline wins on recall).
+
+        `metrics_path`: optional JSONL stream of per-frame ("frame") and
+        per-keyframe ("kf") records — the structured observability layer
+        the reference only had as printf (SURVEY.md §5); costs one
+        json.dumps per frame, no extra device pulls."""
         self.cfg = cfg
         self.dist_mesh = dist_mesh
         if dist_mesh is not None:
@@ -139,6 +145,7 @@ class SLAMSystem:
                 bow_ops.load_vocabulary(vocab_path), min_gap=10)
         self.n_loops_closed = 0
         self.n_relocs = 0    # successful BoW/PnP relocalizations
+        self._metrics_f = open(metrics_path, "w") if metrics_path else None
         self.window = W.empty_window(cfg, height, width)
         self.imm = KS.empty_imm(cfg)
         from ..ops import features as FT
@@ -346,7 +353,8 @@ class SLAMSystem:
         self._extract_feats = jax.jit(
             lambda img: FT.extract_multiscale(
                 img, cfg.ind_pyr_levels, cfg.max_kf_features,
-                float(cfg.min_th_fast), scale=cfg.ind_pyr_scale))
+                float(cfg.min_th_fast), scale=cfg.ind_pyr_scale,
+                do_subpix=cfg.do_subpix))
         from ..ops import init_refine as ir_ops
         self._init_refine = jax.jit(partial(ir_ops.direct_refine, cfg=cfg))
         self._k_pyr = jax.jit(partial(k_pyr_from_value, n_levels=n_lvl))
@@ -459,6 +467,11 @@ class SLAMSystem:
 
         # --- keyframe decision (System.cpp:159-177)
         need_kf = self._need_keyframe(shell)
+        self._emit_metrics(
+            t="frame", id=shell.id, ts=timestamp, kf=bool(need_kf),
+            rmse=float(self.last_coarse_rmse[0]),
+            pose_valid=bool(shell.pose_valid),
+            reloc=bool(shell.relocalized))
 
         if self.sequential:
             if need_kf:
@@ -736,13 +749,25 @@ class SLAMSystem:
             raise exc
 
     def close(self):
-        """Stop the mapping thread (after finish())."""
+        """Stop the mapping thread (after finish()); flush metrics."""
+        if self._metrics_f is not None:
+            self._metrics_f.close()
+            self._metrics_f = None
         if self.sequential:
             return
         with self._qcond:
             self._map_stop = True
             self._qcond.notify_all()
         self._map_thread.join(timeout=30)
+
+    def _emit_metrics(self, **fields):
+        """One JSONL record on the structured metrics stream (no-op unless
+        metrics_path was given)."""
+        if self._metrics_f is None:
+            return
+        import json
+        self._metrics_f.write(json.dumps(fields) + "\n")
+        self._metrics_f.flush()
 
     # ------------------------------------------------------------ bootstrap
     def _try_initialize(self, shell: Shell, pyr, grads):
@@ -1375,6 +1400,11 @@ class SLAMSystem:
         self._m_nimm_host = np.asarray(b.n_imm_host, np.int64)
         self._m_n_active = int(b.n_active)
         self.ind_obs_history.append(int(b.n_ind))
+        self._emit_metrics(
+            t="kf", id=shell.id, kf_id=shell.kf_id,
+            ba_rmse=float(b.rmse), n_active=int(b.n_active),
+            n_ind=int(b.n_ind), n_marg_frames=int(flag_mask.sum()),
+            latency_ms=round(1e3 * (_time.perf_counter() - _t0), 2))
         for s in range(F):
             if flag_mask[s]:
                 self.slot_shell[s] = None

@@ -176,11 +176,13 @@ def extract_multiscale(
     fast_th: float,
     scale: float = 1.2,
     nms_cell: int = 8,
+    do_subpix: bool = False,
 ):
     """Multi-scale FAST + oriented rBRIEF over a 1.2x feature pyramid
     (Frame::CreateIndPyrs + FeatureDetector::ExtractFeatures). Returns
     (u, v, level, score, desc, valid) with fixed capacity; coordinates in
-    level-0 pixels."""
+    level-0 pixels. `do_subpix` enables cornerSubPix-style refinement of
+    the keypoint locations (Detector.cpp:77-86)."""
     H, W = img.shape
     caps = _level_capacities(capacity, n_levels, scale)
 
@@ -198,6 +200,8 @@ def extract_multiscale(
         score = score.at[:BORDER, :].set(0.0).at[-BORDER:, :].set(0.0)
         score = score.at[:, :BORDER].set(0.0).at[:, -BORDER:].set(0.0)
         u, v, valid = grid_nms(score, nms_cell, caps[l])
+        if do_subpix:
+            u, v = subpix_refine(lvl_img, u, v)
         desc, _ = describe(gaussian_blur7(lvl_img), u, v)
         f = scale ** l
         us.append(u * f)
@@ -213,6 +217,57 @@ def extract_multiscale(
         jnp.concatenate(us), jnp.concatenate(vs), jnp.concatenate(lvls),
         jnp.concatenate(scs), jnp.concatenate(descs), jnp.concatenate(vals),
     )
+
+
+def subpix_refine(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                  iters: int = 5) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched gradient-based corner refinement: the cv::cornerSubPix
+    (window 1x1 => 3x3 neighborhood) call of the reference
+    (Src/Detector.cpp:77-86, off by default via DoSubPix, Settings.cpp:21).
+
+    Each iteration solves sum_q [g g^T] c = sum_q [g g^T] q over a 3x3
+    window of bilinear-sampled gradients around the current estimate —
+    one (K, 2, 2) batched solve per iteration, no data-dependent control
+    flow. Divergent corners (singular structure tensor or >1.5 px total
+    drift) fall back to their integer location."""
+    from ..utils.interp import bilinear
+
+    H, W = img.shape
+    dx = jnp.zeros_like(img).at[:, 1:-1].set(
+        0.5 * (img[:, 2:] - img[:, :-2]))
+    dy = jnp.zeros_like(img).at[1:-1, :].set(
+        0.5 * (img[2:, :] - img[:-2, :]))
+    d = jnp.arange(-1.0, 2.0)
+    oy, ox = jnp.meshgrid(d, d, indexing="ij")
+    ox = ox.reshape(-1)
+    oy = oy.reshape(-1)
+
+    def body(_, c):
+        qx = c[:, 0:1] + ox[None, :]
+        qy = c[:, 1:2] + oy[None, :]
+        gx = bilinear(dx, qx, qy)
+        gy = bilinear(dy, qx, qy)
+        a = jnp.sum(gx * gx, -1)
+        b = jnp.sum(gx * gy, -1)
+        cc = jnp.sum(gy * gy, -1)
+        bx = jnp.sum(gx * gx * qx + gx * gy * qy, -1)
+        by = jnp.sum(gx * gy * qx + gy * gy * qy, -1)
+        det = a * cc - b * b
+        ok = det > 1e-8
+        det = jnp.where(ok, det, 1.0)
+        nx = (cc * bx - b * by) / det
+        ny = (a * by - b * bx) / det
+        new = jnp.stack([nx, ny], -1)
+        return jnp.where(ok[:, None], new, c)
+
+    c0 = jnp.stack([u, v], -1)
+    c = jax.lax.fori_loop(0, iters, body, c0)
+    drift2 = jnp.sum((c - c0) ** 2, -1)
+    good = (drift2 <= 1.5 ** 2) & jnp.all(jnp.isfinite(c), -1)
+    c = jnp.where(good[:, None], c, c0)
+    cu = jnp.clip(c[:, 0], 1.0, W - 2.0)
+    cv_ = jnp.clip(c[:, 1], 1.0, H - 2.0)
+    return cu, cv_
 
 
 # ---------------------------------------------------------------------------

@@ -95,6 +95,8 @@ def main():
                     help="offline-trained BoW vocabulary .npz "
                          "(scripts/train_vocab.py); the reference's "
                          "mandatory vocabulary argument (Main.h:81)")
+    ap.add_argument("--metrics", type=str, default=None,
+                    help="write per-frame/per-keyframe JSONL metrics here")
     args = ap.parse_args()
 
     from hslam_tpu.config import Config
@@ -108,7 +110,7 @@ def main():
                      max_features=2048, pyr_levels=4)
         sys_ = SLAMSystem(fx, fy, cx, cy, w, h, cfg,
                           enable_loop_closure=args.loop_closure,
-                          vocab_path=args.vocab)
+                          vocab_path=args.vocab, metrics_path=args.metrics)
         t0 = time.time()
         for i, img in enumerate(frames):
             sys_.process_frame(img, i / 30.0)
@@ -145,7 +147,7 @@ def main():
         cfg = Config()
         sys_ = SLAMSystem(K[0, 0], K[1, 1], K[0, 2], K[1, 2],
                           cam.out_size[0], cam.out_size[1], cfg,
-                          vocab_path=args.vocab)
+                          vocab_path=args.vocab, metrics_path=args.metrics)
         import jax.numpy as jnp
         from hslam_tpu.ops.undistort import remap_image, photometric_correct
 

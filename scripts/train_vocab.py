@@ -65,10 +65,10 @@ def main():
         from hslam_tpu.io.dataset import DatasetReader
 
         rd = DatasetReader(args.dataset)
-        ids = list(range(0, rd.n_images, args.stride))[: args.max_images]
+        ids = list(range(0, len(rd), args.stride))[: args.max_images]
         for i, fid in enumerate(ids):
-            img, _, _ = rd.get_image(fid)
-            d = extract_descs(img, 4, args.features, args.fast_th)
+            fd = rd.get_raw(fid)
+            d = extract_descs(fd.image, 4, args.features, args.fast_th)
             descs.append(d)
             doc_ids.append(np.full(len(d), i, np.int32))
             if (i + 1) % 20 == 0:

@@ -97,6 +97,30 @@ class TestExtraction:
             np.testing.assert_array_equal(np.asarray(mask[i]), ref)
 
 
+class TestSubpix:
+    def test_subpix_recovers_fractional_corner(self):
+        """cornerSubPix equivalent (Detector.cpp:77-86): a blurred corner
+        rendered at a known fractional position must be recovered to well
+        under half a pixel from the integer FAST location."""
+        import scipy.ndimage as ndi
+
+        true_x, true_y = 40.37, 30.72
+        ys, xs = np.mgrid[0:64, 0:80].astype(np.float64)
+        img = 200.0 * ((xs < true_x) ^ (ys < true_y)) + 20.0
+        img = ndi.gaussian_filter(img, 1.2).astype(np.float32)
+
+        u0 = jnp.asarray([40.0])
+        v0 = jnp.asarray([31.0])
+        u1, v1 = ft.subpix_refine(jnp.asarray(img), u0, v0, iters=8)
+        err = np.hypot(float(u1[0]) - true_x, float(v1[0]) - true_y)
+        assert err < 0.15, f"subpix err {err} (got {float(u1[0])},{float(v1[0])})"
+
+    def test_subpix_falls_back_on_flat_patch(self):
+        img = jnp.full((64, 64), 50.0)
+        u, v = ft.subpix_refine(img, jnp.asarray([32.0]), jnp.asarray([20.0]))
+        assert float(u[0]) == 32.0 and float(v[0]) == 20.0
+
+
 class TestFeatsStore:
     def test_empty_feats_shapes(self):
         f = ft.empty_feats(8, 256)

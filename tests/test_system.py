@@ -89,6 +89,38 @@ def test_end_to_end_synthetic():
     assert err < 0.15, f"ATE too high: {err}"
 
 
+def test_metrics_stream(tmp_path):
+    """metrics_path produces a JSONL stream with per-frame and per-keyframe
+    records (the structured observability layer, SURVEY.md §5)."""
+    import json
+    from hslam_tpu.models.system import SLAMSystem
+
+    cfg = Config(
+        max_frames=6, max_points=512, max_immature=512, max_features=512,
+        pyr_levels=3, init_min_matches=50, init_ransac_iters=100,
+        desired_point_density=400.0, desired_immature_density=300.0,
+        tracker_iters_per_level=(6, 10, 10),
+    )
+    path = str(tmp_path / "metrics.jsonl")
+    slam = SLAMSystem(FX, FY, CX, CY, W, H, cfg, metrics_path=path)
+    I0 = make_texture()
+    for i in range(12):
+        t = i / 10.0
+        xi = jnp.array(
+            [0.35 * np.sin(0.5 * t), 0.18 * (1 - np.cos(0.5 * t)), 0.05 * t,
+             0.015 * np.sin(0.4 * t), 0.025 * t, 0.01 * np.sin(0.3 * t)])
+        R, tt = lie.se3_exp(xi)
+        slam.process_frame(render(I0, R, tt), t)
+    slam.close()
+    recs = [json.loads(ln) for ln in open(path)]
+    frames = [r for r in recs if r["t"] == "frame"]
+    kfs = [r for r in recs if r["t"] == "kf"]
+    assert len(frames) >= 5 and len(kfs) >= 1
+    assert {"id", "ts", "rmse", "pose_valid"} <= set(frames[0])
+    assert {"kf_id", "ba_rmse", "n_active", "latency_ms"} <= set(kfs[0])
+    assert all(np.isfinite(r["rmse"]) for r in frames)
+
+
 def test_fast_detector_path():
     """cfg.use_fast selects FAST+NMS keypoints as the candidate source."""
     import jax.numpy as jnp
