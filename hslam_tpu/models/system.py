@@ -471,7 +471,8 @@ class SLAMSystem:
             t="frame", id=shell.id, ts=timestamp, kf=bool(need_kf),
             rmse=float(self.last_coarse_rmse[0]),
             pose_valid=bool(shell.pose_valid),
-            reloc=bool(shell.relocalized))
+            reloc=bool(shell.relocalized),
+            p=[round(float(x), 4) for x in shell.cam_to_world[:3, 3]])
 
         if self.sequential:
             if need_kf:
