@@ -20,6 +20,7 @@
 #include <deque>
 #include <map>
 #include <mutex>
+#include <set>
 #include <string>
 #include <thread>
 #include <vector>
@@ -35,6 +36,9 @@ struct Frame {
 
 struct Loader {
   std::vector<std::string> paths;
+  int n_frames = 0;       // == paths.size() in path mode; explicit in mem mode
+  bool mem_mode = false;  // frames arrive as compressed blobs (loader_push)
+  std::map<int, std::vector<uint8_t>> blobs;
   int n_prefetch;
   // photometric correction (optional): 256-entry inverse response,
   // full-resolution inverse vignette
@@ -46,6 +50,7 @@ struct Loader {
   std::condition_variable cv_ready;
   std::condition_variable cv_work;
   std::map<int, Frame> cache;
+  std::set<int> decoding;  // popped from queue, not yet cached (mem mode)
   std::deque<int> queue;
   std::atomic<int> next_consumer{0};
   std::atomic<bool> stop{false};
@@ -53,7 +58,20 @@ struct Loader {
 
   Frame decode(int idx) {
     Frame f;
-    cv::Mat img = cv::imread(paths[idx], cv::IMREAD_GRAYSCALE);
+    cv::Mat img;
+    if (mem_mode) {
+      std::vector<uint8_t> blob;
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        auto it = blobs.find(idx);
+        if (it == blobs.end()) return f;
+        blob = std::move(it->second);
+        blobs.erase(it);
+      }
+      img = cv::imdecode(blob, cv::IMREAD_GRAYSCALE);
+    } else {
+      img = cv::imread(paths[idx], cv::IMREAD_GRAYSCALE);
+    }
     if (img.empty()) return f;
     f.width = img.cols;
     f.height = img.rows;
@@ -83,19 +101,31 @@ struct Loader {
         if (stop.load()) return;
         idx = queue.front();
         queue.pop_front();
+        decoding.insert(idx);
       }
       Frame f = decode(idx);
       {
         std::lock_guard<std::mutex> lk(mu);
         cache[idx] = std::move(f);
+        decoding.erase(idx);
       }
       cv_ready.notify_all();
     }
   }
 
   void schedule_ahead(int from) {
-    // enqueue [from, from + n_prefetch) not yet cached/queued
+    // enqueue [from, from + n_prefetch) not yet cached/queued. In mem mode
+    // the producer (loader_push) drives the queue instead.
     std::lock_guard<std::mutex> lk(mu);
+    if (mem_mode) {
+      for (auto it = cache.begin(); it != cache.end();) {
+        if (it->first < from - 2)
+          it = cache.erase(it);
+        else
+          ++it;
+      }
+      return;
+    }
     for (int i = from; i < from + n_prefetch && i < (int)paths.size(); ++i) {
       if (cache.count(i)) continue;
       bool queued = false;
@@ -121,11 +151,39 @@ extern "C" {
 void* loader_open(const char** paths, int n, int n_prefetch, int n_threads) {
   auto* L = new Loader();
   L->paths.assign(paths, paths + n);
+  L->n_frames = n;
   L->n_prefetch = n_prefetch;
   for (int i = 0; i < n_threads; ++i)
     L->workers.emplace_back([L] { L->worker(); });
   L->schedule_ahead(0);
   return L;
+}
+
+// Memory-fed variant for archive datasets (reference reads zips through
+// libzip, DatasetLoader.h:410-434): the producer reads compressed blobs
+// (cheap, sequential IO) and pushes them here; the worker pool owns the
+// expensive image decode + photometric correction off the consumer thread.
+void* loader_open_mem(int n, int n_threads) {
+  auto* L = new Loader();
+  L->mem_mode = true;
+  L->n_frames = n;
+  L->n_prefetch = 0;
+  for (int i = 0; i < n_threads; ++i)
+    L->workers.emplace_back([L] { L->worker(); });
+  return L;
+}
+
+// Hand frame idx's compressed bytes to the decode pool (copies `data`).
+void loader_push(void* h, int idx, const uint8_t* data, long len) {
+  auto* L = static_cast<Loader*>(h);
+  if (idx < 0 || idx >= L->n_frames) return;
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    if (L->cache.count(idx) || L->blobs.count(idx)) return;
+    L->blobs[idx].assign(data, data + len);
+    L->queue.push_back(idx);
+  }
+  L->cv_work.notify_all();
 }
 
 void loader_set_photometric(void* h, const float* inv_response,
@@ -145,10 +203,21 @@ void loader_set_photometric(void* h, const float* inv_response,
 // success; fills *w, *h. Prefetches ahead of idx.
 int loader_get(void* h, int idx, float* out, long cap, int* w, int* hh) {
   auto* L = static_cast<Loader*>(h);
-  if (idx < 0 || idx >= (int)L->paths.size()) return -1;
+  if (idx < 0 || idx >= L->n_frames) return -1;
   L->schedule_ahead(idx);
   std::unique_lock<std::mutex> lk(L->mu);
-  L->cv_ready.wait(lk, [&] { return L->cache.count(idx) > 0; });
+  L->cv_ready.wait(lk, [&] {
+    if (L->cache.count(idx)) return true;
+    if (!L->mem_mode) return false;
+    // mem mode: give up (rather than block forever) once the frame is
+    // neither pending, queued, nor mid-decode — i.e. it was never pushed,
+    // or its cache entry was already consumed and evicted
+    bool queued = false;
+    for (int q : L->queue)
+      if (q == idx) { queued = true; break; }
+    return !(L->blobs.count(idx) || queued || L->decoding.count(idx));
+  });
+  if (!L->cache.count(idx)) return -4;
   Frame& f = L->cache[idx];
   if (!f.ok) return -2;
   if ((long)f.data.size() > cap) return -3;
@@ -159,7 +228,7 @@ int loader_get(void* h, int idx, float* out, long cap, int* w, int* hh) {
 }
 
 int loader_count(void* h) {
-  return (int)static_cast<Loader*>(h)->paths.size();
+  return static_cast<Loader*>(h)->n_frames;
 }
 
 void loader_close(void* h) {

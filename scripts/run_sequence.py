@@ -158,12 +158,21 @@ def main():
             inv_resp_np = np.asarray(invert_response(jnp.asarray(rd.photometric.gamma)))
         inv_vig_np = rd.photometric.inv_vignette
 
-        # native threaded prefetch loader when built and not a zip dataset
+        # native threaded decode: path-based prefetch loader for directory
+        # datasets, blob-fed decode pool for zip archives (the consumer
+        # thread only reads compressed bytes; decode + photometric
+        # correction run in the C++ worker pool)
         from hslam_tpu.io import native_loader
-        use_native = native_loader.available() and rd._zip is None
-        if use_native:
+        use_native = native_loader.available()
+        if use_native and rd._zip is None:
             nl = native_loader.NativeLoader(
                 rd.files, n_prefetch=8, n_threads=2,
+                inv_response=inv_resp_np, inv_vignette=inv_vig_np,
+            )
+        elif use_native:
+            nl = native_loader.NativeMemLoader(
+                len(rd), lambda i: rd._zip.read(rd.files[i]),
+                n_prefetch=8, n_threads=2,
                 inv_response=inv_resp_np, inv_vignette=inv_vig_np,
             )
         inv_resp = jnp.asarray(inv_resp_np) if inv_resp_np is not None else None

@@ -52,3 +52,34 @@ def test_photometric_lut(png_dir):
     ref = cv2.imread(png_dir[2], cv2.IMREAD_GRAYSCALE).astype(np.float32)
     np.testing.assert_allclose(got, ref * 0.5 * 2.0, atol=1e-5)
     ld.close()
+
+
+@pytest.mark.skipif(not native_loader.available(),
+                    reason="native library not built")
+def test_mem_loader_zip(png_dir):
+    """Blob-fed decode pool (NativeMemLoader) — the zip-archive path: the
+    consumer hands over compressed bytes, the C++ pool decodes + applies
+    the photometric LUT, results match cv2 decode."""
+    import cv2
+    import zipfile
+
+    zpath = os.path.join(os.path.dirname(png_dir[0]), "images.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in png_dir:
+            z.write(p, os.path.basename(p))
+    zf = zipfile.ZipFile(zpath)
+    names = sorted(zf.namelist())
+
+    lut = np.arange(256, dtype=np.float32) * 2.0
+    ld = native_loader.NativeMemLoader(
+        len(names), lambda i: zf.read(names[i]),
+        n_prefetch=3, n_threads=2, inv_response=lut)
+    assert len(ld) == 6
+    for i in range(6):   # sequential consumption, decode runs ahead
+        got = ld.get(i)
+        ref = cv2.imread(png_dir[i], cv2.IMREAD_GRAYSCALE).astype(np.float32)
+        np.testing.assert_allclose(got, ref * 2.0, atol=1e-5)
+    # a frame that was consumed and evicted must fail fast, not deadlock
+    with pytest.raises(IOError):
+        ld.get(0)
+    ld.close()
