@@ -133,10 +133,11 @@ def _edge_residual(delta_ij: jnp.ndarray, edge) -> jnp.ndarray:
     return lie.sim3_log(se, Re, te)[0]
 
 
-@partial(jax.jit, static_argnames=("n_iters", "cg_iters", "fix_scale"))
+@partial(jax.jit, static_argnames=("n_iters", "cg_iters", "fix_scale", "axis"))
 def optimize_pose_graph_pcg(pg: PoseGraph, n_iters: int = 10,
                             cg_iters: int = 150, cg_tol: float = 1e-8,
-                            lam: float = 1e-6, fix_scale: bool = False):
+                            lam: float = 1e-6, fix_scale: bool = False,
+                            axis: str | None = None):
     """Sparse pose-graph GN: never materializes J or H.
 
     Per GN iteration: per-edge (7, 14) Jacobian blocks (vmapped jacfwd of
@@ -144,13 +145,20 @@ def optimize_pose_graph_pcg(pg: PoseGraph, n_iters: int = 10,
     H·x evaluated as two einsums + two segment-sums over edges (O(E) work
     and memory) and a block-Jacobi preconditioner (per-node 7x7 = sum of
     incident JᵀJ blocks, batched inverse). Replaces the dense (7N)² solve
-    of `optimize_pose_graph` for KITTI-length graphs (10k+ keyframes);
-    the segment-sums are the unit of sharding for a multi-chip edge
-    partition (psum over the "edges" axis).
+    of `optimize_pose_graph` for KITTI-length graphs (10k+ keyframes).
+
+    `axis`: mesh axis name when the edge arrays are a per-device shard
+    inside a shard_map (parallel/dist_pose_graph.py) — node states are
+    replicated and every edge reduction (gradient scatter, preconditioner,
+    H·x) is psum'd over the axis so each device holds the full node
+    vectors while owning only its edge partition.
     """
     N = pg.s.shape[0]
     E = pg.edge_i.shape[0]
     I7 = jnp.eye(7)
+
+    def allsum(x):
+        return jax.lax.psum(x, axis) if axis is not None else x
 
     pin = jnp.zeros(N, bool).at[0].set(True) | ~pg.valid
     dim_ok = jnp.ones(7)
@@ -172,16 +180,16 @@ def optimize_pose_graph_pcg(pg: PoseGraph, n_iters: int = 10,
             """Jᵀ y accumulated into nodes: (E, 7) -> (N, 7)."""
             gi = jnp.einsum("eab,ea->eb", Ji, y)
             gj = jnp.einsum("eab,ea->eb", Jj, y)
-            return (jax.ops.segment_sum(gi, pg.edge_i, num_segments=N)
-                    + jax.ops.segment_sum(gj, pg.edge_j, num_segments=N))
+            return allsum(jax.ops.segment_sum(gi, pg.edge_i, num_segments=N)
+                          + jax.ops.segment_sum(gj, pg.edge_j, num_segments=N))
 
         b = scat(r0) * node_mask                                   # (N, 7)
 
         # block-Jacobi preconditioner + GN damping (per-node 7x7)
         Pi = jnp.einsum("eab,eac->ebc", Ji, Ji)
         Pj = jnp.einsum("eab,eac->ebc", Jj, Jj)
-        Pn = (jax.ops.segment_sum(Pi, pg.edge_i, num_segments=N)
-              + jax.ops.segment_sum(Pj, pg.edge_j, num_segments=N))
+        Pn = allsum(jax.ops.segment_sum(Pi, pg.edge_i, num_segments=N)
+                    + jax.ops.segment_sum(Pj, pg.edge_j, num_segments=N))
         dH = jnp.diagonal(Pn, axis1=1, axis2=2)                    # (N, 7)
         damp = jnp.maximum(dH * lam, 1e-8)
         # pinned dims get identity rows so the batched inverse stays sane

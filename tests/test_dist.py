@@ -171,3 +171,37 @@ def test_system_with_dist_mesh():
             est.append(s.cam_to_world[:3, 3])
     err = ate_rmse(np.array(gtp), np.array(est))
     assert np.isfinite(err) and err < 0.15, f"ATE too high: {err}"
+
+
+def test_sharded_pose_graph_matches_single_device():
+    """Edge-sharded PCG pose graph (8-way edge partition, psum'd
+    reductions) must match the single-device PCG solver on the Strasdat
+    circle fixture — same algorithm, only the reduction order differs."""
+    from test_loop import _build_circle_sim3, _pg_chi2
+    from hslam_tpu.models.pose_graph import optimize_pose_graph_pcg
+    from hslam_tpu.parallel.dist_pose_graph import (
+        pad_edges, sharded_optimize_pose_graph_pcg)
+
+    pg = _build_circle_sim3(61, scale_drift=1.002, noise=0.005)
+    assert pg.edge_i.shape[0] % 8 != 0  # exercise the padding path
+
+    s1, R1, t1 = optimize_pose_graph_pcg(pg, n_iters=8, cg_iters=400)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("edges",))
+    s8, R8, t8 = sharded_optimize_pose_graph_pcg(mesh, pg, n_iters=8,
+                                                 cg_iters=400)
+
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(s1),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(t8), np.asarray(t1),
+                               rtol=0, atol=5e-3)
+    # both must actually have relaxed the graph
+    chi_in = _pg_chi2(pg, pg.s, pg.R, pg.t)
+    chi_1 = _pg_chi2(pg, s1, R1, t1)
+    chi_8 = _pg_chi2(pg, s8, R8, t8)
+    assert chi_1 < 0.1 * chi_in
+    assert chi_8 < 1.05 * chi_1 + 1e-6
+
+    # padding must be a pure no-op on the unsharded solver too
+    pgp = pad_edges(pg, 8)
+    sp, Rp, tp = optimize_pose_graph_pcg(pgp, n_iters=8, cg_iters=400)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(s1), rtol=1e-5)
