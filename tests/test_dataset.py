@@ -138,3 +138,29 @@ def test_stereo_rectify_rows_align():
                   + patch[1, 0] * (1 - fx_) * fy_
                   + patch[1, 1] * fx_ * fy_)
         assert abs(interp[0] - udi) < 0.05 and abs(interp[1] - vdi) < 0.05
+
+
+def test_zip_through_native_mem_loader(tmp_path):
+    """Archive dataset routed through the C++ decode pool: the reader
+    supplies compressed bytes, the pool decodes — output must match the
+    reader's own decode (the run_sequence.py zip fast path)."""
+    from hslam_tpu.io import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native library not built")
+    d = str(tmp_path)
+    imgs = []
+    with zipfile.ZipFile(os.path.join(d, "images.zip"), "w") as z:
+        for i in range(5):
+            img, buf = _png_bytes(30 + i)
+            imgs.append(img)
+            z.writestr(f"images/{i:05d}.png", buf)
+    with open(os.path.join(d, "times.txt"), "w") as f:
+        for i in range(5):
+            f.write(f"{i:05d} {i * 0.05:.6f} 1.0\n")
+    r = DatasetReader(d, kind="tum")
+    ld = native_loader.NativeMemLoader(
+        len(r), lambda i: r._zip.read(r.files[i]), n_prefetch=2)
+    for i in range(5):
+        np.testing.assert_array_equal(ld.get(i), r.get_raw(i).image)
+    ld.close()
