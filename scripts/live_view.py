@@ -123,12 +123,13 @@ class Dashboard:
         dt = self.t_wall[-1] - self.t_wall[0]
         return (len(self.t_wall) - 1) / dt if dt > 0 else 0.0
 
-    def render(self) -> str:
+    def render(self, show_fps: bool = True) -> str:
+        fps = f"  {self.fps():5.1f} fps" if show_fps else ""
         lines = []
         lines.append(
             f" hslam_tpu  frames {self.n_frames:5d}  kf {self.n_kf:4d}  "
             f"reloc {self.n_reloc}  pts {self.n_active:5d}  "
-            f"ind {self.n_ind:4d}  {self.fps():5.1f} fps")
+            f"ind {self.n_ind:4d}{fps}")
         lines.append(" " + "─" * (self.plot_w + 1))
         for row in self._braille_map():
             lines.append(" │" + row)
@@ -165,7 +166,8 @@ def follow(path: str, once: bool = False, out=sys.stdout,
                     continue  # partial trailing line of a live writer
                 drew = True
             if once:
-                out.write(dash.render() + "\n")
+                # wall-clock arrival rate is meaningless for a cold replay
+                out.write(dash.render(show_fps=False) + "\n")
                 return dash
             if drew:
                 out.write("\x1b[2J\x1b[H" + dash.render() + "\n")
