@@ -65,12 +65,19 @@ class LoopCloser:
     def __init__(self, vocab: bow_ops.Vocabulary,
                  min_score_ratio: float = 0.75,
                  min_gap: int = 15,
-                 min_inliers: int = 25):
+                 min_inliers: int = 25,
+                 dist_mesh=None):
         self.vocab = vocab
         self.entries: List[KeyframeEntry] = []
         self.min_score_ratio = min_score_ratio
         self.min_gap = min_gap
         self.min_inliers = min_inliers
+        # optional jax.sharding.Mesh: KITTI-length relaxations shard their
+        # edge set over it (parallel/dist_pose_graph.py)
+        self.dist_mesh = dist_mesh
+        # graphs up to this many nodes relax with the dense GN solver;
+        # larger ones use matrix-free PCG (sharded when a mesh is set)
+        self.dense_max_nodes = 512
         self._quantize = jax.jit(lambda d, v: bow_ops.quantize(self.vocab, d, v))
 
     def add_keyframe(self, kf_id: int, shell_id: int,
@@ -229,10 +236,18 @@ class LoopCloser:
             np.asarray(w, np.float32),
         )
         # dense GN up to ~512 keyframes; beyond that the matrix-free PCG
-        # path (O(E) memory, KITTI-length graphs — north-star config #5)
-        if N <= 512:
+        # path (O(E) memory, KITTI-length graphs — north-star config #5),
+        # edge-sharded over the mesh when one is configured
+        if N <= self.dense_max_nodes:
             s_new, R_new, t_new = pg_mod.optimize_pose_graph(
                 pg, n_iters=8, fix_scale=fix_scale
+            )
+        elif self.dist_mesh is not None:
+            from ..parallel.dist_pose_graph import (
+                sharded_optimize_pose_graph_pcg)
+            s_new, R_new, t_new = sharded_optimize_pose_graph_pcg(
+                self.dist_mesh, pg, n_iters=8,
+                cg_iters=min(4 * N, 4000), fix_scale=fix_scale
             )
         else:
             s_new, R_new, t_new = pg_mod.optimize_pose_graph_pcg(

@@ -142,7 +142,8 @@ class SLAMSystem:
             from ..ops import bow as bow_ops
             from .loop_closure import LoopCloser
             self.loop_closer = LoopCloser(
-                bow_ops.load_vocabulary(vocab_path), min_gap=10)
+                bow_ops.load_vocabulary(vocab_path), min_gap=10,
+                dist_mesh=dist_mesh)
         self.n_loops_closed = 0
         self.n_relocs = 0    # successful BoW/PnP relocalizations
         self._metrics_f = open(metrics_path, "w") if metrics_path else None
@@ -1521,7 +1522,8 @@ class SLAMSystem:
                     for i, d in enumerate(self._vocab_descs)])
                 voc = bow_ops.train_vocabulary(pool, k=8, levels=3, iters=4,
                                                doc_ids=doc_ids)
-                self.loop_closer = LoopCloser(voc, min_gap=10)
+                self.loop_closer = LoopCloser(voc, min_gap=10,
+                                              dist_mesh=self.dist_mesh)
                 # backfill the keyframes that fed the vocabulary — without
                 # them the revisit has nothing to match against
                 for e in self._pending_entries:

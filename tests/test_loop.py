@@ -426,3 +426,47 @@ class TestLoopCloserEndToEnd:
         closer.correct(loop, fix_scale=True)
         g_after = gap()
         assert g_after < 0.6 * g_before, (g_before, g_after)
+
+
+def test_loop_correct_sharded_pcg_path():
+    """LoopCloser.correct with a dist_mesh dispatches the edge-sharded PCG
+    relaxation past dense_max_nodes and matches the dense answer from the
+    same drifted chain (the multi-chip loop-closure backend wiring)."""
+    from jax.sharding import Mesh
+    from hslam_tpu.models.loop_closure import (KeyframeEntry, LoopCloser,
+                                               LoopResult)
+
+    def build_closer(mesh, dense_max):
+        c = LoopCloser.__new__(LoopCloser)   # vocab-free: correct() only
+        c.entries = []
+        c.dist_mesh = mesh
+        c.dense_max_nodes = dense_max
+        rng = np.random.RandomState(4)
+        T = np.eye(4)
+        for i in range(24):
+            # drifted forward motion with small rotation noise
+            step = np.eye(4)
+            step[:3, 3] = [0.1 + 0.004 * i, 0.0, 0.01]
+            ang = rng.randn(3) * 0.01
+            step[:3, :3] = np.asarray(lie.se3_exp(
+                jnp.asarray(np.r_[np.zeros(3), ang], jnp.float32))[0])
+            T = step @ T
+            c.entries.append(KeyframeEntry(
+                kf_id=i, shell_id=i, bow=np.zeros(4), desc=np.zeros((1, 8)),
+                kp_u=np.zeros(1), kp_v=np.zeros(1), valid=np.zeros(1, bool),
+                cam_to_world=np.linalg.inv(T)))
+        return c
+
+    loop = LoopResult(query_kf=23, match_kf=0,
+                      rel_R=np.eye(3), rel_t=np.array([2.0, 0.0, 0.2]),
+                      rel_s=1.0, n_inliers=60)
+
+    dense = build_closer(None, 512)
+    dense.correct(loop, fix_scale=True)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("edges",))
+    sharded = build_closer(mesh, 4)          # force the PCG branch
+    sharded.correct(loop, fix_scale=True)
+
+    for a, b in zip(dense.entries, sharded.entries):
+        np.testing.assert_allclose(b.cam_to_world, a.cam_to_world,
+                                   rtol=0, atol=2e-3)
