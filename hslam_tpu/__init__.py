@@ -30,12 +30,47 @@ import jax as _jax
 # that tolerate bf16 opt in explicitly at the call site.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-# persistent compilation cache: the framework compiles ~10 large graphs;
+# Persistent compilation cache: the framework compiles ~10 large graphs;
 # caching makes process restarts (and flaky remote-compile environments)
-# incremental instead of from-scratch
-_cache_dir = _os.environ.get("HSLAM_JAX_CACHE", "/tmp/hslam_jax_cache")
-try:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+# incremental instead of from-scratch.
+#
+# The default cache dir is scoped by backend + machine + CPU feature set:
+# a single shared path poisons fresh processes when entries were compiled
+# on a different machine (XLA:CPU AOT executables embed host CPU features
+# and fail to load — or worse, segfault on concurrent writes). Set
+# HSLAM_JAX_CACHE to override, or HSLAM_JAX_CACHE=0 to disable entirely.
+
+
+def _default_cache_dir():
+    import hashlib
+    import platform
+
+    backend = _os.environ.get("JAX_PLATFORMS", "") or "auto"
+    backend = backend.split(",")[0] or "auto"
+    feat = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feat = hashlib.sha1(line.encode()).hexdigest()[:10]
+                    break
+    except OSError:
+        pass
+    tag = f"{backend}-{platform.machine()}-{feat or 'nofeat'}"
+    return f"/tmp/hslam_jax_cache-{tag}"
+
+
+_cache_dir = _os.environ.get("HSLAM_JAX_CACHE")
+_backend = (_os.environ.get("JAX_PLATFORMS", "") or "").split(",")[0]
+# On the CPU backend the persistent cache is a net negative: XLA:CPU AOT
+# entries embed "+prefer-no-gather/scatter" pseudo-features that never
+# match the host on reload (every load fails with feature-mismatch spam
+# and recompiles anyway), and concurrent writes have segfaulted CI. Only
+# enable it where it works (TPU/axon), or when explicitly requested.
+if _cache_dir != "0" and (_cache_dir or _backend not in ("cpu",)):
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir", _cache_dir or _default_cache_dir())
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

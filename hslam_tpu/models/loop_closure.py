@@ -235,10 +235,18 @@ class LoopCloser:
              np.asarray(np.stack(mt), np.float32)),
             np.asarray(w, np.float32),
         )
+        # pad to power-of-two node/edge buckets: a live run corrects on a
+        # graph that grows with every keyframe, and shape-polymorphic jit
+        # would recompile the solver each time (a >1s latency spike on the
+        # loop-closure worker, ~50x over a long run). With buckets the run
+        # compiles ~log2(N) executables total.
+        Nb = pg_mod.bucket_size(N)
+        Eb = pg_mod.bucket_size(len(edges_i))
+        pg = pg_mod.pad_graph(pg, Nb, Eb)
         # dense GN up to ~512 keyframes; beyond that the matrix-free PCG
         # path (O(E) memory, KITTI-length graphs — north-star config #5),
         # edge-sharded over the mesh when one is configured
-        if N <= self.dense_max_nodes:
+        if Nb <= self.dense_max_nodes:
             s_new, R_new, t_new = pg_mod.optimize_pose_graph(
                 pg, n_iters=8, fix_scale=fix_scale
             )
@@ -247,11 +255,11 @@ class LoopCloser:
                 sharded_optimize_pose_graph_pcg)
             s_new, R_new, t_new = sharded_optimize_pose_graph_pcg(
                 self.dist_mesh, pg, n_iters=8,
-                cg_iters=min(4 * N, 4000), fix_scale=fix_scale
+                cg_iters=min(4 * Nb, 4000), fix_scale=fix_scale
             )
         else:
             s_new, R_new, t_new = pg_mod.optimize_pose_graph_pcg(
-                pg, n_iters=8, cg_iters=min(4 * N, 4000),
+                pg, n_iters=8, cg_iters=min(4 * Nb, 4000),
                 fix_scale=fix_scale
             )
         out = []

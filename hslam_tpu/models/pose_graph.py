@@ -245,6 +245,46 @@ def optimize_pose_graph_pcg(pg: PoseGraph, n_iters: int = 10,
     return pg.s, pg.R, pg.t
 
 
+def pad_graph(pg: PoseGraph, n_nodes: int, n_edges: int) -> PoseGraph:
+    """Pad a graph to fixed bucket sizes so the jitted solvers compile a
+    bounded (~log2 N) set of executables over a whole run instead of one
+    per keyframe count. Padded nodes are identity poses marked invalid
+    (both solvers pin invalid nodes); padded edges are weight-0 identity
+    self-loops on node 0 (zero residual AND zero Jacobian rows, so they
+    contribute nothing to b, H, or the preconditioner)."""
+    N = pg.s.shape[0]
+    E = pg.edge_i.shape[0]
+    if n_nodes < N or n_edges < E:
+        raise ValueError(f"pad_graph: buckets ({n_nodes},{n_edges}) smaller "
+                         f"than graph ({N},{E})")
+    dn = n_nodes - N
+    de = n_edges - E
+    if dn == 0 and de == 0:
+        return pg
+    eye = jnp.broadcast_to(jnp.eye(3), (dn, 3, 3))
+    eye_e = jnp.broadcast_to(jnp.eye(3), (de, 3, 3))
+    return PoseGraph(
+        s=jnp.concatenate([pg.s, jnp.ones(dn)]),
+        R=jnp.concatenate([pg.R, eye]),
+        t=jnp.concatenate([pg.t, jnp.zeros((dn, 3))]),
+        valid=jnp.concatenate([pg.valid, jnp.zeros(dn, bool)]),
+        edge_i=jnp.concatenate([pg.edge_i, jnp.zeros(de, jnp.int32)]),
+        edge_j=jnp.concatenate([pg.edge_j, jnp.zeros(de, jnp.int32)]),
+        meas_s=jnp.concatenate([pg.meas_s, jnp.ones(de)]),
+        meas_R=jnp.concatenate([pg.meas_R, eye_e]),
+        meas_t=jnp.concatenate([pg.meas_t, jnp.zeros((de, 3))]),
+        weight=jnp.concatenate([pg.weight, jnp.zeros(de)]),
+    )
+
+
+def bucket_size(n: int, lo: int = 32) -> int:
+    """Smallest power-of-two bucket >= n (minimum `lo`)."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
 def make_graph(s, R, t, valid, edge_i, edge_j, meas, weight=None) -> PoseGraph:
     """meas: tuple (s (E,), R (E,3,3), t (E,3)) of measured S_i * S_j^-1."""
     E = edge_i.shape[0]

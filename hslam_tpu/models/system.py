@@ -69,6 +69,18 @@ def _se3_np(R, t):
     return T
 
 
+def default_vocab_path() -> Optional[str]:
+    """The shipped 10^4-word BoW vocabulary (trained on diverse generated
+    scenes by scripts/train_vocab.py --diverse; the reference makes the
+    vocabulary a mandatory CLI argument, Main.h:81). None if the asset is
+    missing (source checkout stripped of assets) — callers then fall back
+    to online training."""
+    import os
+    p = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "assets", "vocab_10k.npz")
+    return p if os.path.exists(p) else None
+
+
 # candidate-point SoA lives in models/kf_step.py (Imm pytree); re-exported
 # for checkpoint IO and tests
 Imm = KS.Imm
@@ -99,11 +111,13 @@ class SLAMSystem:
         devices (psum-reduced camera systems over ICI; parallel/dist_ba.py).
         cfg.max_points must divide the mesh size.
 
-        `vocab_path`: optional offline-trained BoW vocabulary (.npz from
-        ops.bow.save_vocabulary / scripts/train_vocab.py) — the equivalent
-        of the reference's mandatory vocabulary CLI argument (Main.h:81).
-        Without it, a vocabulary is trained online from the first 8
-        keyframes (adequate for a single scene; offline wins on recall).
+        `vocab_path`: BoW vocabulary (.npz from ops.bow.save_vocabulary /
+        scripts/train_vocab.py) — the equivalent of the reference's
+        mandatory vocabulary CLI argument (Main.h:81). Default (None)
+        loads the SHIPPED 10^4-word vocabulary trained on diverse
+        generated scenes (hslam_tpu/assets/vocab_10k.npz); pass "online"
+        to instead train a small vocabulary from the first 8 keyframes of
+        the run (scene-specialized fallback), or a path to your own.
 
         `metrics_path`: optional JSONL stream of per-frame ("frame") and
         per-keyframe ("kf") records — the structured observability layer
@@ -138,6 +152,10 @@ class SLAMSystem:
         self.loop_closer = None          # built lazily once a vocab exists
         self._vocab_descs: list = []     # descriptor pool for training
         self._pending_entries: list = []  # KF entries awaiting the vocab
+        if vocab_path is None:
+            vocab_path = default_vocab_path()   # shipped artifact (or None)
+        elif vocab_path == "online":
+            vocab_path = None
         if vocab_path is not None:
             from ..ops import bow as bow_ops
             from .loop_closure import LoopCloser
@@ -206,7 +224,13 @@ class SLAMSystem:
         self._shell_lock = threading.Lock()
         self._map_exc: Optional[BaseException] = None
         self.n_frames_skipped = 0       # non-KF frames dropped in catch-up
-        self._kfs_pending = 0           # KFs queued or in flight (max 1)
+        # KF-need latch (reference NeedNewKFAfter, System.h:143): the shell
+        # id of the tracking reference of the newest frame that wanted a
+        # keyframe. The mapping thread keyframes the FRESHEST queued frame
+        # once the queue drains, iff the latch outlives the newest window
+        # KF (Mapping.cpp:197). Never lost, never applied to stale frames.
+        self._need_kf_after = -1
+        self._catch_up = False
         # lag-N pipelined-tracking frontier (process_frame_pipelined):
         # frame k's host finalization happens while frames k+1..k+lag compute
         # on device, which hides both the device time AND the ~25 ms
@@ -218,6 +242,12 @@ class SLAMSystem:
         self._dev_prevprev = jnp.eye(4, dtype=jnp.float32)
         self._dev_aff = jnp.zeros(2, jnp.float32)
         self.kf_latencies: deque = deque(maxlen=200)
+        # loop-closure worker state (async mode): BoW/PnP/pose-graph work
+        # runs off the mapping thread; corrections are handed back via
+        # _pending_loop_corr and applied between keyframe steps
+        self._lc_thread = None
+        self._pending_loop_corr = None
+        self._lc_corr_lock = threading.Lock()
         if not sequential:
             self._queue: deque = deque()
             self._qcond = threading.Condition()
@@ -226,6 +256,14 @@ class SLAMSystem:
             self._map_thread = threading.Thread(
                 target=self._mapping_loop, daemon=True)
             self._map_thread.start()
+            if enable_loop_closure:
+                self._lc_queue: deque = deque()
+                self._lc_cond = threading.Condition()
+                self._lc_stop = False
+                self._lc_busy = False
+                self._lc_thread = threading.Thread(
+                    target=self._lc_loop, daemon=True)
+                self._lc_thread.start()
 
         self._build_jit()
 
@@ -335,6 +373,22 @@ class SLAMSystem:
         self._track_step = jax.jit(
             partial(trk_ops.track_step, cfg=cfg, n_levels=n_lvl)
         )
+
+        def track_step_cal(template, raw, inv_resp, inv_vig, grad_w,
+                           calib_value, *rest):
+            """Online-calib variant of the fused tracking step: photometric
+            correction + gamma gradient-reweighting fused into the same
+            dispatch, so the pipelined path matches the sequential path's
+            Frame.cpp:158-164 semantics (round-3 gap: the pipelined path
+            applied intensity correction only)."""
+            from ..ops.undistort import photometric_correct
+            img = photometric_correct(raw.astype(jnp.float32), inv_resp,
+                                      inv_vig)
+            return trk_ops.track_step(template, img, calib_value, *rest,
+                                      cfg=cfg, n_levels=n_lvl,
+                                      gamma_grad_weight=grad_w)
+
+        self._track_step_cal = jax.jit(track_step_cal)
         # n_iterations is a traced scalar (the GN while_loop bound) so the
         # init-time 20/15-iteration windows share ONE compilation with the
         # steady-state 6-iteration one
@@ -383,6 +437,45 @@ class SLAMSystem:
             return col, wgt, gH, finite
 
         self._sample_pattern = sample_pattern
+
+        @jax.jit
+        def map_cloud(frames, points, calib_value):
+            """World-space positions of every point slot + validity — the
+            live-map feed (capability of Src/Display.cpp:382-441: per-KF
+            point clouds with the maxRelBaseline / idepth-variance noise
+            filter of :409-421). Fixed shapes; the host decimates."""
+            fx, fy, cx, cy = (calib_value[0], calib_value[1],
+                              calib_value[2], calib_value[3])
+            R, t = W.frame_poses(frames)          # worldToCam
+            idp = jnp.maximum(points.idepth, 1e-6)
+            z = 1.0 / idp
+            pc = jnp.stack([(points.u - cx) / fx * z,
+                            (points.v - cy) / fy * z, z], -1)   # (P, 3)
+            Rh = R[points.host]                   # (P, 3, 3)
+            th = t[points.host]
+            xyz = jnp.einsum("pji,pj->pi", Rh, pc - th)
+            # noise filter (Display.cpp:409-421): depth-prior'd bootstrap
+            # points keep max_rel_baseline 0 — exempt them via the prior
+            id_var = 1.0 / (points.idepth_hessian + 0.01)
+            ok = ((points.status == W.PT_ACTIVE) & (points.idepth > 1e-6)
+                  & ((points.max_rel_baseline >= 0.01) | (points.prior > 0))
+                  & (id_var <= 1e-2 * z * z * z * z))
+            return xyz, ok, points.color[:, 4]
+
+        self._map_cloud = map_cloud
+
+        @jax.jit
+        def lift_depths(ku, kv, tu, tv, tid, tval):
+            """Nearest-template-point lookup for keypoint depth lifting —
+            the device replacement for the host O(K*T) numpy distance
+            matrix that sat inside the per-KF latency budget."""
+            d2 = ((ku[:, None] - tu[None, :]) ** 2
+                  + (kv[:, None] - tv[None, :]) ** 2)
+            d2 = jnp.where(tval[None, :], d2, 1e12)
+            nn = jnp.argmin(d2, axis=1)
+            return tid[nn], jnp.min(d2, axis=1)
+
+        self._lift_depths = lift_depths
 
     def _select_px(self, pot, dir_img, grads, want, seed):
         """Candidate pixel source. Default: the PixelSelector gradient
@@ -482,7 +575,10 @@ class SLAMSystem:
                 self._process_non_kf(shell, pyr)
         else:
             with self._qcond:
-                self._queue.append((shell, pyr, grads, need_kf))
+                if need_kf and shell.tracking_ref is not None:
+                    self._need_kf_after = max(self._need_kf_after,
+                                              shell.tracking_ref)
+                self._queue.append((shell, pyr, grads))
                 self._qcond.notify_all()
         return shell
 
@@ -542,22 +638,30 @@ class SLAMSystem:
         # frames cross the tunnel in their native dtype (uint8 preferred:
         # 4x less host->device bandwidth); conversion happens on device
         raw = jnp.asarray(image)
-        img_dev = raw
         if self.online_photo_calib and self._inv_response is not None:
-            # correction-only dispatch; the track_step pyramid then sees
-            # corrected intensities (gradient gamma-reweighting is applied
-            # on the sequential path only)
-            img_dev = self._correct_img(raw, self._inv_response,
-                                        self._inv_vignette)
-        out = self._track_step(
-            self.template, img_dev, self.calib.value,
-            jnp.asarray(ref_c2w, jnp.float32),
-            self._dev_prev, self._dev_prevprev,
-            jnp.bool_(self._frontier_frames >= 2),
-            self._dev_aff,
-            jnp.float32(self.ref_exposure), jnp.float32(shell.exposure),
-            jnp.asarray(self.ref_aff, jnp.float32),
-        )
+            # fused correction + gamma gradient-reweighting + tracking in
+            # ONE dispatch — photometrically identical to the sequential
+            # path (Frame.cpp:158-164 semantics)
+            out = self._track_step_cal(
+                self.template, raw, self._inv_response, self._inv_vignette,
+                self._grad_weight, self.calib.value,
+                jnp.asarray(ref_c2w, jnp.float32),
+                self._dev_prev, self._dev_prevprev,
+                jnp.bool_(self._frontier_frames >= 2),
+                self._dev_aff,
+                jnp.float32(self.ref_exposure), jnp.float32(shell.exposure),
+                jnp.asarray(self.ref_aff, jnp.float32),
+            )
+        else:
+            out = self._track_step(
+                self.template, raw, self.calib.value,
+                jnp.asarray(ref_c2w, jnp.float32),
+                self._dev_prev, self._dev_prevprev,
+                jnp.bool_(self._frontier_frames >= 2),
+                self._dev_aff,
+                jnp.float32(self.ref_exposure), jnp.float32(shell.exposure),
+                jnp.asarray(self.ref_aff, jnp.float32),
+            )
         # start the device->host copy of the small result NOW so the pull in
         # _complete_tracked (pipeline_lag frames later) finds it staged
         _copy_to_host_async((out.R, out.t, out.aff, out.ok,
@@ -692,66 +796,137 @@ class SLAMSystem:
 
         need_kf = self._need_keyframe(shell)
         with self._qcond:
-            # backpressure: at most ONE keyframe queued or in flight — under
-            # mapping load extra KFs only grow the queue and go stale (the
-            # death spiral: stale tracker ref -> huge flow -> more KFs). The
-            # deferred frame traces as a non-KF; the KF need re-triggers on a
-            # later frame against the fresh reference.
-            if need_kf and self._kfs_pending >= 1:
-                need_kf = False
-            if need_kf:
-                self._kfs_pending += 1
-            self._queue.append((shell, out.pyr, out.grads, need_kf))
+            # Reference handoff (System.cpp:191-198): frames enqueue
+            # UNTAGGED; a KF need only raises the NeedNewKFAfter latch.
+            # The mapping thread keyframes the freshest frame when the
+            # queue drains (Mapping.cpp:169-209) — so under load the map
+            # keeps getting keyframes (no starvation) but never burns
+            # time on a backlog of stale ones (no death spiral).
+            if need_kf and shell.tracking_ref is not None:
+                self._need_kf_after = max(self._need_kf_after,
+                                          shell.tracking_ref)
+            self._queue.append((shell, out.pyr, out.grads))
             self._qcond.notify_all()
         return shell
 
     # ------------------------------------------------------ mapping thread
     def _mapping_loop(self):
-        """Consumer loop over the tracked-frame queue (Mapping.cpp:144-214):
-        keyframes always get the full AddKeyframe treatment; non-KF frames
-        are traced unless the queue is >3 behind (catch-up mode,
-        Mapping.cpp:169-190, which drops their trace work)."""
+        """Consumer loop over the tracked-frame queue — the reference's
+        MappingThread policy verbatim (Mapping.cpp:143-214):
+
+          * the first two tracked frames after init are forced keyframes;
+          * while MORE frames wait behind the popped one, it is processed
+            as a NON-keyframe (trace only) regardless of KF demand, and in
+            catch-up mode (>3 behind) a second frame is dropped outright
+            (pose bookkeeping only);
+          * the keyframe is made from the FRESHEST frame — the one popped
+            with an empty queue — iff the NeedNewKFAfter latch outlives
+            the newest window keyframe (Mapping.cpp:197).
+
+        Under sustained load this keeps the map fed with CURRENT keyframes
+        instead of either starving it (round-3 backpressure) or burning
+        the mapper on a backlog of stale ones."""
         while True:
             with self._qcond:
                 while not self._queue and not self._map_stop:
                     self._qcond.wait()
                 if self._map_stop and not self._queue:
                     return
-                shell, pyr, grads, need_kf = self._queue.popleft()
-                behind = len(self._queue)
+                shell, pyr, grads = self._queue.popleft()
+                more = len(self._queue)
                 self._map_busy = True
             try:
-                if need_kf:
+                # fold in any worker-computed loop correction BEFORE the
+                # next keyframe/trace step touches the window
+                self._apply_pending_loop_corr()
+                if more > self.CATCHUP_DRAIN:
+                    # severe overload (tracker far outrunning the mapper —
+                    # the reference's drop-every-second-frame catch-up
+                    # assumes the queue eventually drains; under sustained
+                    # overload it never does, no keyframe is ever made,
+                    # and the tracking template goes stale until loss).
+                    # Fast-forward: drop everything but the FRESHEST frame
+                    # (pose bookkeeping only) and let it take the
+                    # drained-queue branch below — the latched KF fires on
+                    # current data and the template stays fresh.
+                    dropped = [(shell, pyr, grads)]
+                    with self._qcond:
+                        while len(self._queue) > 1:
+                            dropped.append(self._queue.popleft())
+                        shell, pyr, grads = self._queue.pop()
+                        more = len(self._queue)
+                    with self._shell_lock:
+                        for dsh, _, _ in dropped:
+                            if dsh.tracking_ref is not None:
+                                dsh.cam_to_world = (
+                                    self.shells[dsh.tracking_ref]
+                                    .cam_to_world @ dsh.cam_to_ref)
+                    self.n_frames_skipped += len(dropped)
+                if len(self.kf_shell_ids) <= 2:
+                    # forced KFs for the first two tracked frames
+                    # (Mapping.cpp:160-167)
                     t_kf = _time.perf_counter()
                     self._add_keyframe(shell, pyr, grads)
                     self.kf_latencies.append(_time.perf_counter() - t_kf)
-                elif behind <= 3:
+                elif more > 0:
+                    if more > 3:
+                        self._catch_up = True
                     self._process_non_kf(shell, pyr)
+                    if self._catch_up:
+                        # drop every second frame while behind
+                        # (Mapping.cpp:177-192)
+                        extra = None
+                        with self._qcond:
+                            if self._queue:
+                                extra = self._queue.popleft()
+                        if extra is not None:
+                            esh = extra[0]
+                            with self._shell_lock:
+                                if esh.tracking_ref is not None:
+                                    esh.cam_to_world = (
+                                        self.shells[esh.tracking_ref]
+                                        .cam_to_world @ esh.cam_to_ref)
+                            self.n_frames_skipped += 1
                 else:
-                    self.n_frames_skipped += 1
+                    newest_sid = (self.kf_shell_ids[-1]
+                                  if self.kf_shell_ids else -1)
+                    if self._need_kf_after >= newest_sid:
+                        t_kf = _time.perf_counter()
+                        self._add_keyframe(shell, pyr, grads)
+                        self.kf_latencies.append(
+                            _time.perf_counter() - t_kf)
+                        self._catch_up = False
+                    else:
+                        self._process_non_kf(shell, pyr)
             except BaseException as e:   # surfaced on the tracking thread
                 self._map_exc = e
             finally:
                 with self._qcond:
-                    if need_kf:
-                        self._kfs_pending -= 1
                     self._map_busy = False
                     self._qcond.notify_all()
 
     def finish(self):
         """BlockUntilMappingIsFinished (Mapping.cpp:216-224): drain the
-        mapping queue. No-op in sequential mode."""
+        mapping queue AND the loop-closure worker, then fold in any pending
+        correction (the mapping thread is idle at the barrier, so applying
+        here cannot race a kf_step). No-op in sequential mode."""
         if self.sequential:
             return
         with self._qcond:
             while self._queue or self._map_busy:
                 self._qcond.wait()
+        if self._lc_thread is not None:
+            with self._lc_cond:
+                while self._lc_queue or self._lc_busy:
+                    self._lc_cond.wait()
+            self._apply_pending_loop_corr()
         if self._map_exc is not None:
             exc, self._map_exc = self._map_exc, None
             raise exc
 
     def close(self):
-        """Stop the mapping thread (after finish()); flush metrics."""
+        """Stop the mapping + loop-closure threads (after finish()); flush
+        metrics."""
         if self._metrics_f is not None:
             self._metrics_f.close()
             self._metrics_f = None
@@ -761,6 +936,43 @@ class SLAMSystem:
             self._map_stop = True
             self._qcond.notify_all()
         self._map_thread.join(timeout=30)
+        if self._lc_thread is not None:
+            with self._lc_cond:
+                self._lc_stop = True
+                self._lc_cond.notify_all()
+            self._lc_thread.join(timeout=30)
+
+    _MAP_MAX_PTS = 1024   # decimation cap per map record
+
+    def _emit_map_record(self, b):
+        """One "map" JSONL record per keyframe: decimated window point
+        cloud (world space, filtered like Display.cpp:409-421) + the
+        window keyframe poses for frusta — the live-3D-view feed
+        (capability of GUI::UploadKeyFrame, Include/Display.h:126-141).
+        Clouds of ALL window KFs ride every record, so BA pose/depth
+        updates refresh previously-drawn keyframes (RefreshPC
+        semantics, Display.cpp:382-441)."""
+        xyz, ok, inten = jax.device_get(self._map_cloud(
+            self.window.frames, self.window.points, self.calib.value))
+        idx = np.flatnonzero(ok)
+        if len(idx) > self._MAP_MAX_PTS:
+            idx = idx[:: len(idx) // self._MAP_MAX_PTS + 1]
+        pts = np.concatenate(
+            [xyz[idx], np.clip(inten[idx], 0, 255)[:, None]], axis=1)
+        valid = np.asarray(b.valid)
+        kfs = []
+        for s in range(self.cfg.max_frames):
+            if not valid[s]:
+                continue
+            kfs.append({
+                "kf": int(b.kf_id[s]),
+                "R": [round(float(x), 5) for x in np.asarray(b.Rwc[s]).ravel()],
+                "t": [round(float(x), 5) for x in np.asarray(b.twc[s])],
+            })
+        self._emit_metrics(
+            t="map", kf_id=int(np.max(np.asarray(b.kf_id))),
+            pts=[[round(float(c), 4) for c in p] for p in pts],
+            kfs=kfs)
 
     def _emit_metrics(self, **fields):
         """One JSONL record on the structured metrics stream (no-op unless
@@ -965,6 +1177,10 @@ class SLAMSystem:
 
     # ------------------------------------------------------------- tracking
     MAX_HYP = 32   # fixed hypothesis batch (31 reference tries + identity pad)
+    # mapping-queue depth beyond which the mapper fast-forwards to the
+    # freshest frame (see _mapping_loop); the reference's catch-up keeps
+    # up only when the mapper runs at >= half the input rate
+    CATCHUP_DRAIN = 8
     # selector block sizes the pot adaptation may choose from — a fixed
     # ladder so every selector variant compiles once (a fresh pot value
     # mid-run would stall a keyframe for a full XLA compile)
@@ -1145,23 +1361,20 @@ class SLAMSystem:
         return np.all(np.isfinite(np.asarray(best.t)))
 
     def _lift_keypoint_depths(self, u, v, radius_px: float = 3.0):
-        """Nearest-template-point inverse depth for keypoints (host side).
-        Uses the mapping thread's newest template (the one just built for
-        the current KF), falling back to the tracking reference."""
+        """Nearest-template-point inverse depth for keypoints, computed on
+        device (one small dispatch; no O(K*T) host matrix). Uses the mapping
+        thread's newest template (the one just built for the current KF),
+        falling back to the tracking reference."""
         tpl = getattr(self, "_newest_template", None) or self.template
         if tpl is None:
             n = np.asarray(u).shape[0]
             return np.zeros(n, np.float32), np.zeros(n, bool)
-        tu = np.asarray(tpl.u[0])
-        tv = np.asarray(tpl.v[0])
-        tid = np.asarray(tpl.idepth[0])
-        tval = np.asarray(tpl.valid[0])
-        un, vn = np.asarray(u), np.asarray(v)
-        d2 = (un[:, None] - tu[None, :]) ** 2 + (vn[:, None] - tv[None, :]) ** 2
-        d2[:, ~tval] = 1e12
-        nn = np.argmin(d2, axis=1)
-        ok = d2[np.arange(len(un)), nn] <= radius_px * radius_px
-        return tid[nn].astype(np.float32), ok
+        tid, dmin = self._lift_depths(
+            jnp.asarray(u), jnp.asarray(v),
+            tpl.u[0], tpl.v[0], tpl.idepth[0], tpl.valid[0])
+        dmin = np.asarray(dmin)
+        return (np.asarray(tid, np.float32),
+                dmin <= radius_px * radius_px)
 
     def _attempt_relocalization(self, shell: Shell, pyr):
         """KLT-free pose recovery: match FAST+rBRIEF descriptors of the
@@ -1207,17 +1420,15 @@ class SLAMSystem:
         if int(np.asarray(ok).sum()) < 15:
             return None
 
-        # lift ref keypoints to 3D via nearest template point (<= 3 px)
-        tu = np.asarray(self.template.u[0])
-        tv = np.asarray(self.template.v[0])
-        tid = np.asarray(self.template.idepth[0])
-        tval = np.asarray(self.template.valid[0])
+        # lift ref keypoints to 3D via nearest template point (<= 3 px),
+        # on device (no host distance matrix)
+        tpl = self.template
+        tid_d, dmin_d = self._lift_depths(
+            jnp.asarray(ku), jnp.asarray(kv),
+            tpl.u[0], tpl.v[0], tpl.idepth[0], tpl.valid[0])
         ku_np, kv_np = np.asarray(ku), np.asarray(kv)
-        d2 = (ku_np[:, None] - tu[None, :]) ** 2 + (kv_np[:, None] - tv[None, :]) ** 2
-        d2[:, ~tval] = 1e12
-        nn = np.argmin(d2, axis=1)
-        has_depth = d2[np.arange(len(ku_np)), nn] <= 9.0
-        idepth = tid[nn]
+        has_depth = np.asarray(dmin_d) <= 9.0
+        idepth = np.asarray(tid_d)
 
         fx, fy = float(self.calib.value[0]), float(self.calib.value[1])
         cx, cy = float(self.calib.value[2]), float(self.calib.value[3])
@@ -1407,6 +1618,8 @@ class SLAMSystem:
             ba_rmse=float(b.rmse), n_active=int(b.n_active),
             n_ind=int(b.n_ind), n_marg_frames=int(flag_mask.sum()),
             latency_ms=round(1e3 * (_time.perf_counter() - _t0), 2))
+        if self._metrics_f is not None:
+            self._emit_map_record(b)
         for s in range(F):
             if flag_mask[s]:
                 self.slot_shell[s] = None
@@ -1487,12 +1700,16 @@ class SLAMSystem:
 
     # ---------------------------------------------------- loop closure
     def _loop_closure_step(self, slot: int, shell: Shell, pyr):
-        from ..ops import bow as bow_ops
-        from .loop_closure import LoopCloser
-
+        """Per-keyframe loop-closure hook. Gathers the (cheap, device-side)
+        inputs — descriptors + keypoint depth lift — then runs the heavy
+        BoW/PnP/pose-graph work inline (sequential mode) or hands it to the
+        dedicated low-priority loop-closure worker (async mode), keeping
+        BoW scoring, matching, PnP RANSAC and the pose-graph relax off the
+        mapping thread's per-KF latency budget (the reference runs them
+        nowhere — this is the declared-capability integration)."""
         if self.cfg.enable_indirect:
             # consume the keyframe's stored multi-scale features (extracted
-            # once in kf_step) — one small device->host pull
+            # once in kf_step) — small device-side slices
             u = self.feats.u[slot]
             v = self.feats.v[slot]
             valid = self.feats.valid[slot]
@@ -1511,7 +1728,25 @@ class SLAMSystem:
         kp_idepth, kp_depth_ok = self._lift_keypoint_depths(u, v)
         entry = (shell.kf_id, shell.id, desc, u, v, valid,
                  shell.cam_to_world.copy(), kp_idepth, kp_depth_ok)
+        exclude = self._connected_kf_ids(shell.kf_id)
 
+        if self.sequential or self._lc_thread is None:
+            corr = self._lc_process(entry, exclude)
+            if corr is not None:
+                self._apply_loop_correction(corr)
+        else:
+            with self._lc_cond:
+                self._lc_queue.append((entry, exclude))
+                self._lc_cond.notify_all()
+
+    def _lc_process(self, entry, exclude_kfs):
+        """Vocabulary bootstrap + BoW detect + pose-graph correct for one
+        keyframe entry. Returns the correction dict {shell_id: c2w} or
+        None. Runs on the mapping thread (sequential) or the LC worker."""
+        from ..ops import bow as bow_ops
+        from .loop_closure import LoopCloser
+
+        kf_id, sid, desc, u, v, valid, c2w, kp_idepth, kp_depth_ok = entry
         if self.loop_closer is None:
             self._vocab_descs.append(np.asarray(desc)[np.asarray(valid)])
             self._pending_entries.append(entry)
@@ -1532,10 +1767,10 @@ class SLAMSystem:
                         kp_idepth=e[7], kp_depth_ok=e[8],
                     )
                 self._pending_entries = []
-            return
+            return None
 
         self.loop_closer.add_keyframe(
-            shell.kf_id, shell.id, desc, u, v, valid, shell.cam_to_world,
+            kf_id, sid, desc, u, v, valid, c2w,
             kp_idepth=kp_idepth, kp_depth_ok=kp_depth_ok,
         )
         K = np.array(
@@ -1543,14 +1778,49 @@ class SLAMSystem:
              [0, float(self.calib.value[1]), float(self.calib.value[3])],
              [0, 0, 1.0]])
         loop = self.loop_closer.detect(
-            len(self.loop_closer.entries) - 1, K,
-            exclude_kfs=self._connected_kf_ids(shell.kf_id),
+            len(self.loop_closer.entries) - 1, K, exclude_kfs=exclude_kfs,
         )
         if loop is None:
-            return
+            return None
         corrections = self.loop_closer.correct(loop, fix_scale=False)
         self.n_loops_closed += 1
-        self._apply_loop_correction(dict(corrections))
+        return dict(corrections)
+
+    def _lc_loop(self):
+        """Loop-closure worker (async mode): consumes keyframe entries,
+        computes corrections, and leaves them in _pending_loop_corr for the
+        MAPPING thread to apply between keyframe steps — window/evalPT
+        mutation must never race a kf_step dispatch."""
+        while True:
+            with self._lc_cond:
+                while not self._lc_queue and not self._lc_stop:
+                    self._lc_cond.wait()
+                if self._lc_stop and not self._lc_queue:
+                    return
+                entry, exclude = self._lc_queue.popleft()
+                self._lc_busy = True
+            try:
+                corr = self._lc_process(entry, exclude)
+                if corr is not None:
+                    with self._lc_corr_lock:
+                        # merge over an unapplied older correction: the new
+                        # relaxation already includes its effect (entry
+                        # poses were updated by correct())
+                        self._pending_loop_corr = corr
+            except BaseException as e:   # surfaced on the tracking thread
+                self._map_exc = e
+            finally:
+                with self._lc_cond:
+                    self._lc_busy = False
+                    self._lc_cond.notify_all()
+
+    def _apply_pending_loop_corr(self):
+        """Called on the mapping thread (or at finish barriers) to fold in
+        a worker-computed correction."""
+        with self._lc_corr_lock:
+            corr, self._pending_loop_corr = self._pending_loop_corr, None
+        if corr is not None:
+            self._apply_loop_correction(corr)
 
     def _apply_loop_correction(self, by_shell: dict):
         """Re-anchor trajectory + window after a pose-graph correction.

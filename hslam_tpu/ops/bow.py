@@ -65,10 +65,14 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 3,
     max_nodes = k ** levels
     cents = np.zeros((levels, max_nodes, 8), np.uint32)
 
+    pop_lut = np.array([bin(i).count("1") for i in range(256)], np.uint16)
+
     def hdist(a, b):
-        """(N, 8) x (M, 8) -> (N, M) hamming distances."""
+        """(N, 8) x (M, 8) -> (N, M) hamming distances (byte-LUT popcount —
+        8x less memory traffic than unpackbits, matters at 10^4-word
+        vocabulary scale)."""
         x = a[:, None, :] ^ b[None, :, :]
-        return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+        return pop_lut[x.view(np.uint8)].sum(-1, dtype=np.int32)
 
     def kmedians(data, kk):
         if len(data) == 0:

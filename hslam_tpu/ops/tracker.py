@@ -669,6 +669,7 @@ def track_step(
     aff_ref: jnp.ndarray,
     cfg: Config,
     n_levels: int,
+    gamma_grad_weight: jnp.ndarray | None = None,
 ) -> TrackStepOut:
     """One fully-fused per-frame tracking step: pyramid build + device-side
     motion hypotheses + batched coarsest-level scoring + coarse-to-fine LM,
@@ -686,7 +687,11 @@ def track_step(
     from .pyramid import build_direct_pyramid
 
     K_pyr = k_pyr_from_value(calib_value, n_levels)
-    pyr, grads = build_direct_pyramid(img.astype(jnp.float32), n_levels)
+    # gamma_grad_weight: the photometric response derivative re-weights the
+    # gradient-magnitude maps (Frame.cpp:158-164) — threaded through so the
+    # pipelined path is photometrically identical to the sequential one
+    pyr, grads = build_direct_pyramid(img.astype(jnp.float32), n_levels,
+                                      gamma_grad_weight=gamma_grad_weight)
     R_b, t_b = motion_hypotheses_device(
         ref_c2w, prev_c2w, prevprev_c2w, have_motion)
     res, _ = track_coarse_multi(

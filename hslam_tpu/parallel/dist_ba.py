@@ -14,6 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
@@ -68,7 +69,9 @@ def sharded_ba_optimize(mesh: Mesh, wnd: W.Window, calib: Calib, cfg: Config,
     def opt(wnd_l, calib_l, n):
         return ba_optimize(wnd_l, calib_l, cfg, n, axis="points")
 
-    return opt(wnd, calib, jnp.int32(n_iter))
+    # np scalar (not a committed device array): multi-process meshes treat
+    # numpy inputs as replicated, device arrays as local-only
+    return opt(wnd, calib, np.int32(n_iter))
 
 
 def sharded_marginalize_points(mesh: Mesh, wnd: W.Window, calib: Calib,

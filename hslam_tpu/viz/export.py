@@ -44,19 +44,15 @@ def window_pointcloud(window, calib, max_points=None,
         (status == W.PT_ACTIVE) & (idp > 1e-6)
         & (rel_bs >= min_rel_bs) & (id_var <= max_idepth_var)
     )
-    xyz = []
-    inten = []
-    for i in np.where(act)[0]:
-        h = host[i]
-        z = 1.0 / idp[i]
-        pc = np.array([(u[i] - cx) / fx * z, (v[i] - cy) / fy * z, z])
-        Rwc = R[h].T
-        twc = -Rwc @ t[h]
-        xyz.append(Rwc @ pc + twc)
-        inten.append(col[i])
-    if not xyz:
+    idx = np.where(act)[0]
+    if idx.size == 0:
         return np.zeros((0, 3)), np.zeros(0)
-    return np.stack(xyz), np.asarray(inten)
+    h = host[idx]
+    z = 1.0 / idp[idx]
+    pc = np.stack([(u[idx] - cx) / fx * z, (v[idx] - cy) / fy * z, z], -1)
+    # x_world = R^T (x_cam - t), batched over the host keyframes
+    xyz = np.einsum("nji,nj->ni", R[h], pc - t[h])
+    return xyz, col[idx]
 
 
 def write_ply(path: str, xyz: np.ndarray, intensity: np.ndarray | None = None):

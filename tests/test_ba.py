@@ -818,3 +818,61 @@ class TestWindowGather:
         # states agree wherever the window path doesn't extra-mask
         assert (np.asarray(lin_w.new_state)[keep]
                 == np.asarray(lin_p.new_state)[keep]).all()
+
+
+class TestFrameEnergyTH:
+    def test_energy_th_matches_numpy_rederivation(self):
+        """setNewFrameEnergyTH parity (FullSystemOptimize.cpp:60-101): the
+        nth-element of residual energies targeting the newest frame, sqrt,
+        median-factor, constant blend, squared, overall weight — re-derived
+        independently in numpy."""
+        from types import SimpleNamespace
+
+        from hslam_tpu.models.optimizer import _update_energy_th
+
+        wnd, calib, cfg = make_synthetic_window()
+        frames = wnd.frames
+        F = cfg.max_frames
+        P = cfg.max_points
+        rng = np.random.RandomState(7)
+        energy_raw = rng.uniform(0.0, 900.0, (P, F)).astype(np.float32)
+        # some invalid rows (reference: state_NewEnergyWithOutlier < 0)
+        energy_raw[rng.rand(P, F) < 0.15] = -1.0
+        grid = rng.rand(P, F) < 0.8
+        newest = F - 1
+
+        lin = SimpleNamespace(energy_raw=jnp.asarray(energy_raw))
+        out = _update_energy_th(frames, lin, jnp.asarray(grid),
+                                jnp.int32(newest), cfg)
+        got = float(out.energy_th[newest])
+
+        # numpy re-derivation
+        mask = grid & (energy_raw >= 0)
+        vals = np.sort(energy_raw[:, newest][mask[:, newest]])
+        nth = int(cfg.frame_energy_th_n * len(vals))
+        th = np.sqrt(vals[nth]) * cfg.frame_energy_th_fac_median
+        th = (26.0 * cfg.frame_energy_th_const_weight
+              + th * (1.0 - cfg.frame_energy_th_const_weight))
+        th = th * th * cfg.overall_energy_th_weight ** 2
+        np.testing.assert_allclose(got, th, rtol=1e-5)
+        # other slots untouched
+        np.testing.assert_array_equal(
+            np.asarray(out.energy_th[:newest]),
+            np.asarray(frames.energy_th[:newest]))
+
+    def test_energy_th_empty_fallback(self):
+        """No residuals targeting the newest frame -> the 12^2*patternNum
+        fallback (FullSystemOptimize.cpp:75)."""
+        from types import SimpleNamespace
+
+        from hslam_tpu.models.optimizer import _update_energy_th
+
+        wnd, calib, cfg = make_synthetic_window()
+        P, F = cfg.max_points, cfg.max_frames
+        lin = SimpleNamespace(
+            energy_raw=jnp.full((P, F), -1.0, jnp.float32))
+        out = _update_energy_th(wnd.frames, lin,
+                                jnp.zeros((P, F), bool),
+                                jnp.int32(F - 1), cfg)
+        np.testing.assert_allclose(float(out.energy_th[F - 1]),
+                                   12.0 * 12.0 * 8.0)

@@ -53,8 +53,11 @@ def test_sharded_step_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_graft_dryrun():
-    """The driver's multichip dry-run contract must hold on the CPU mesh."""
+    """The driver's multichip dry-run contract must hold on the CPU mesh.
+    (@slow: it duplicates the driver's own MULTICHIP artifact — run it in
+    the --full lane, not on every CI pass.)"""
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     import __graft_entry__

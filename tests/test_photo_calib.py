@@ -145,3 +145,59 @@ def test_online_calibration_in_live_system():
         est.append(s.cam_to_world[:3, 3])
     err = ate_rmse(np.array(gtp), np.array(est))
     assert np.isfinite(err) and err < 0.2, f"ATE too high: {err}"
+
+
+def test_pipelined_path_matches_sequential_pyramids():
+    """Round-3 gap: the pipelined tracking path applied intensity
+    correction only, skipping the gamma gradient-reweighting the
+    sequential path applies (Frame.cpp:158-164). Both entry points must
+    now produce the SAME corrected pyramids + gradient maps: the
+    sequential `prep_calibrated` vs the fused `track_step_cal` dispatch."""
+    from hslam_tpu.models.system import SLAMSystem
+    from hslam_tpu.config import Config
+    from hslam_tpu.ops import tracker as trk_ops
+
+    H_, W_ = 64, 96
+    cfg = Config(max_frames=4, max_points=64, max_immature=64,
+                 max_features=64, pyr_levels=3)
+    slam = SLAMSystem(80.0, 80.0, W_ / 2 - 0.5, H_ / 2 - 0.5, W_, H_, cfg,
+                      online_photo_calib=True, enable_loop_closure=False)
+
+    key = jax.random.PRNGKey(5)
+    raw = jax.random.uniform(key, (H_, W_), minval=10.0, maxval=245.0)
+    # synthetic calibration state: nonlinear inverse response, radial
+    # inverse vignette, and its gradient reweighting LUT
+    x = jnp.arange(256, dtype=jnp.float32)
+    inv_resp = 255.0 * (x / 255.0) ** 1.4
+    ys, xs = jnp.mgrid[0:H_, 0:W_]
+    r2 = (((xs - W_ / 2) ** 2 + (ys - H_ / 2) ** 2)
+          / ((W_ / 2) ** 2 + (H_ / 2) ** 2))
+    inv_vig = (1.0 / (1.0 - 0.3 * r2)).astype(jnp.float32)
+    grad_w = (0.5 + x / 510.0).astype(jnp.float32)
+
+    # sequential entry point
+    pyr_s, grads_s = slam._prep_calibrated(raw, inv_resp, inv_vig, grad_w)
+
+    # pipelined entry point (fused correction + pyramid + tracking)
+    pts = 32
+    tpl = trk_ops.build_template(
+        jnp.linspace(5, W_ - 5, pts), jnp.linspace(5, H_ - 5, pts),
+        jnp.full(pts, 0.5), jnp.ones(pts), jnp.ones(pts, bool), pyr_s,
+    )
+    eye = jnp.eye(4, dtype=jnp.float32)
+    out = slam._track_step_cal(
+        tpl, raw, inv_resp, inv_vig, grad_w, slam.calib.value,
+        eye, eye, eye, jnp.bool_(False), jnp.zeros(2),
+        jnp.float32(1.0), jnp.float32(1.0), jnp.zeros(2))
+
+    for a, b in zip(pyr_s, out.pyr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-4)
+    for a, b in zip(grads_s, out.grads):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-4)
+    # and the gamma reweighting must actually bite (differ from unweighted)
+    pyr_u, grads_u = slam._prep_calibrated(
+        raw, inv_resp, inv_vig, jnp.ones(256))
+    assert float(jnp.max(jnp.abs(grads_u[0] - grads_s[0]))) > 1e-3
+    slam.close()

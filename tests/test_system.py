@@ -115,10 +115,24 @@ def test_metrics_stream(tmp_path):
     recs = [json.loads(ln) for ln in open(path)]
     frames = [r for r in recs if r["t"] == "frame"]
     kfs = [r for r in recs if r["t"] == "kf"]
+    maps = [r for r in recs if r["t"] == "map"]
     assert len(frames) >= 5 and len(kfs) >= 1
     assert {"id", "ts", "rmse", "pose_valid"} <= set(frames[0])
     assert {"kf_id", "ba_rmse", "n_active", "latency_ms"} <= set(kfs[0])
     assert all(np.isfinite(r["rmse"]) for r in frames)
+    # live-3D-map feed: every keyframe carries a map record with a world
+    # point cloud ([x, y, z, intensity]) + window KF poses for frusta
+    assert len(maps) == len(kfs)
+    m = maps[-1]
+    assert {"kf_id", "pts", "kfs"} <= set(m)
+    assert len(m["pts"]) > 10 and len(m["pts"][0]) == 4
+    assert all(np.isfinite(p).all() for p in np.asarray(m["pts"]))
+    assert len(m["kfs"]) >= 1
+    assert {"kf", "R", "t"} <= set(m["kfs"][0])
+    assert len(m["kfs"][0]["R"]) == 9 and len(m["kfs"][0]["t"]) == 3
+    # the cloud must sit in front of the map at sane depths (scene z~2)
+    z = np.asarray(m["pts"])[:, 2]
+    assert (np.abs(z) < 50).all()
 
 
 def test_fast_detector_path():
@@ -372,3 +386,155 @@ def test_end_to_end_pipelined_async():
         assert np.isfinite(err) and err < 0.15, f"ATE too high: {err}"
     finally:
         slam.close()
+
+
+@pytest.mark.slow
+def test_sustained_load_new_terrain_kf_cadence():
+    """Round-3 weakness: the hard 1-KF backpressure silently demoted KF
+    decisions under load, so a trajectory entering NEW terrain at full rate
+    tracked against an aging template until it failed. With reference
+    catch-up semantics (keyframes always queue, only non-KF trace work
+    drops — Mapping.cpp:169-190) the async pipeline must keep a KF cadence
+    and ATE comparable to sequential mode while the camera sweeps across a
+    wide texture it has never seen."""
+    from hslam_tpu.io.trajectory import ate_rmse
+    from hslam_tpu.models.system import SLAMSystem
+
+    W_TEX = W + 560          # ~4.4 view-widths of fresh terrain
+    key = jax.random.PRNGKey(9)
+    ky, kx = jax.random.uniform(key, (2, 10), minval=0.5, maxval=6.0)
+    ph = jax.random.uniform(jax.random.fold_in(key, 1), (10,)) * 6.28
+    amps = jnp.array([32.0, 27.0, 21.0, 17.0, 13.0, 10.0, 8.0, 7.0, 6.0, 5.0])
+    ys, xs = jnp.mgrid[0:H, 0:W_TEX]
+    I0w = 120.0 + sum(
+        amps[i] * jnp.sin(2 * jnp.pi * (kx[i] * xs / W + ky[i] * ys / H)
+                          + ph[i])
+        for i in range(10)
+    )
+    grid = jax.random.uniform(jax.random.fold_in(key, 2),
+                              (H // 4 + 2, W_TEX // 4 + 2),
+                              minval=-18.0, maxval=18.0)
+    I0w = I0w + bilinear(grid, xs / 4.0, ys / 4.0)
+    I0w = jnp.clip(I0w, 5.0, 250.0).astype(jnp.float32)
+
+    def render_wide(Rf, tf):
+        yy, xx = jnp.mgrid[0:H, 0:W]
+        px = (xx - CX) / FX
+        py = (yy - CY) / FY
+        Rinv, tinv = lie.se3_inverse(Rf, tf)
+        dz = Rinv[2, 0] * px + Rinv[2, 1] * py + Rinv[2, 2]
+        s = (DEPTH - tinv[2]) / dz
+        X = s * (Rinv[0, 0] * px + Rinv[0, 1] * py + Rinv[0, 2]) + tinv[0]
+        Y = s * (Rinv[1, 0] * px + Rinv[1, 1] * py + Rinv[1, 2]) + tinv[1]
+        # texture origin shifted so the whole sweep stays on-texture
+        u0 = FX * X / DEPTH + CX + 40.0
+        v0 = FY * Y / DEPTH + CY
+        return np.asarray(bilinear(I0w, u0, v0))
+
+    n_frames = 56
+    gt = []
+    frames_np = []
+    for i in range(n_frames):
+        t = i / 10.0
+        # steady lateral sweep into fresh texture + mild wobble
+        xi = jnp.array(
+            [-0.058 * i, 0.03 * np.sin(0.4 * t), 0.015 * np.sin(0.3 * t),
+             0.004 * np.sin(0.5 * t), 0.006 * np.sin(0.35 * t), 0.0])
+        R, tt = lie.se3_exp(xi)
+        gt.append((np.asarray(R), np.asarray(tt)))
+        frames_np.append(render_wide(R, tt))
+
+    cfg = Config(
+        max_frames=6, max_points=512, max_immature=512, max_features=512,
+        pyr_levels=3, init_min_matches=50, init_ransac_iters=100,
+        desired_point_density=400.0, desired_immature_density=300.0,
+        tracker_iters_per_level=(6, 10, 10),
+    )
+
+    import time as _t
+
+    WARM = 12   # unpaced warmup frames: init + every kernel compile
+
+    def run(sequential, period=0.0):
+        slam = SLAMSystem(FX, FY, CX, CY, W, H, cfg,
+                          sequential=sequential,
+                          enable_loop_closure=False)
+        # warmup: unpaced, mapper drained after every frame — XLA compiles
+        # (~minutes on this host) must not masquerade as mapping load
+        for i in range(WARM):
+            if sequential:
+                slam.process_frame(frames_np[i], i / 10.0)
+            else:
+                slam.process_frame_pipelined(frames_np[i], i / 10.0)
+                slam.flush_pipeline()
+                slam.finish()
+        assert slam.initialized, "failed to initialize in warmup"
+        if not sequential:
+            slam.wait_compiles()
+        # paced input with INPUT-SIDE frame skip when behind — the
+        # reference driver's own policy (Main.cpp:91-106): a real camera
+        # delivers at fixed wall rate and a loaded system drops input
+        # frames, it does not buffer an unbounded backlog.
+        t0 = _t.perf_counter()
+        n_proc = 0
+        i = WARM
+        while i < len(frames_np):
+            target = t0 + (i - WARM) * period
+            now = _t.perf_counter()
+            if now < target:
+                _t.sleep(target - now)
+            if sequential:
+                slam.process_frame(frames_np[i], i / 10.0)
+            else:
+                slam.process_frame_pipelined(frames_np[i], i / 10.0)
+            n_proc += 1
+            assert not slam.is_lost, f"lost at frame {i} (seq={sequential})"
+            i += 1
+            if not sequential:
+                now = _t.perf_counter()
+                while (i < len(frames_np) - 1
+                       and t0 + (i - WARM) * period < now):
+                    i += 1     # input frame skipped (arrived while busy)
+        if not sequential:
+            slam.flush_pipeline()
+            slam.finish()
+        wall = _t.perf_counter() - t0
+        est, gtp = [], []
+        n_kf_measured = 0
+        for s in slam.shells:
+            if s.id >= WARM and s.is_kf:
+                n_kf_measured += 1
+            if s.pose_valid and s.id >= WARM:
+                Tcw = np.eye(4)
+                Tcw[:3, :3], Tcw[:3, 3] = gt[s.id]
+                gtp.append(np.linalg.inv(Tcw)[:3, 3])
+                est.append(s.cam_to_world[:3, 3])
+        err = ate_rmse(np.array(gtp), np.array(est))
+        slam.close()
+        return n_kf_measured, err, n_proc, wall
+
+    # sequential first: it defines the frame rate this host can sustain
+    # (input blocks on every keyframe, so its average frame period is the
+    # fastest cadence at which ALL mapping work still gets done)
+    n_meas = len(frames_np) - WARM
+    kf_seq, ate_seq, _, wall_seq = run(True, period=1e-6)
+    # async at 1.5x that period: frames arrive while keyframes are in
+    # flight, so the mapping queue takes real pressure (catch-up, drops,
+    # input skips) — the r3 backpressure starved the map here; the latch
+    # must keep KF cadence proportional to the frames actually tracked
+    kf_async, ate_async, n_proc, _ = run(
+        False, period=1.5 * wall_seq / n_meas)
+
+    # the sweep must actually demand keyframes (new terrain)
+    assert kf_seq >= 6, f"scene too easy: only {kf_seq} sequential KFs"
+    assert n_proc >= 12, f"async processed only {n_proc} frames"
+    # async must keep the map fed in proportion to what it tracked
+    assert kf_async / n_proc >= 0.4 * kf_seq / n_meas, (
+        f"KF starvation: async {kf_async}/{n_proc} vs "
+        f"sequential {kf_seq}/{n_meas}")
+    assert np.isfinite(ate_async)
+    # overloaded-async drift bound: input-side skips halve the trace/BA
+    # observations, so parity with sequential is not expected — 6% of
+    # scene depth over a 3-view-width sweep is the healthy envelope
+    assert ate_async < max(3.0 * ate_seq, 0.12), (
+        f"async ATE {ate_async:.4f} vs sequential {ate_seq:.4f}")

@@ -60,3 +60,45 @@ def test_dashboard_empty_file(tmp_path):
     dash = follow(path, once=True, out=out)
     assert dash.n_frames == 0
     assert "frames" in out.getvalue()
+
+
+def test_map_server_stream_schema(tmp_path):
+    """The live-3D-view HTTP streamer (hslam_tpu/viz/view3d.py): serves the
+    self-contained WebGL page and incremental JSONL reads, tolerating the
+    partial trailing lines a live writer produces."""
+    import urllib.request
+
+    from hslam_tpu.viz.view3d import MapServer
+
+    path = tmp_path / "m.jsonl"
+    recs = [
+        {"t": "frame", "id": 0, "kf": True, "p": [0.0, 0.0, 0.0]},
+        {"t": "map", "kf_id": 1,
+         "pts": [[0.1, 0.2, 1.0, 128.0], [0.3, -0.1, 2.0, 90.0]],
+         "kfs": [{"kf": 0, "R": [1, 0, 0, 0, 1, 0, 0, 0, 1],
+                  "t": [0, 0, 0]}]},
+    ]
+    path.write_text("".join(json.dumps(r) + "\n" for r in recs))
+
+    srv = MapServer(str(path), port=0).start()
+    try:
+        html = urllib.request.urlopen(srv.url + "/").read().decode()
+        assert "webgl" in html and "frustumLines" in html
+
+        d = json.loads(
+            urllib.request.urlopen(srv.url + "/data?from=0").read())
+        assert d["records"] == json.loads(json.dumps(recs))
+        off = d["next"]
+        assert off == path.stat().st_size
+
+        # incremental read picks up ONLY new complete lines
+        with open(path, "a") as f:
+            f.write(json.dumps(
+                {"t": "frame", "id": 1, "kf": False, "p": [1, 0, 0]}) + "\n")
+            f.write('{"t": "frame", "id":')   # partial tail stays pending
+        d2 = json.loads(
+            urllib.request.urlopen(srv.url + f"/data?from={off}").read())
+        assert len(d2["records"]) == 1
+        assert d2["records"][0]["id"] == 1
+    finally:
+        srv.stop()
