@@ -98,6 +98,8 @@ class KFBundle(NamedTuple):
     conn_marg: jnp.ndarray        # (F, F) residuals marginalized this KF
     flow_ok: jnp.ndarray          # () bool — all window poses finite
     n_ind: jnp.ndarray            # () indirect observations live after marg
+    kp_idepth: jnp.ndarray        # (NF,) keypoint depth lift (loop closure)
+    kp_depth_ok: jnp.ndarray      # (NF,) lift within 3 px of a map point
 
 
 # --------------------------------------------------------------------- trace
@@ -571,6 +573,20 @@ def kf_step(
         result.newest_proj_idepth, weight, tpl_valid, pyr,
     )
 
+    # 7b. keypoint depth lift for the loop-closure worker: nearest valid
+    # level-0 template point within 3 px. Riding this dispatch means the
+    # depths arrive in the SAME bundle pull — the round-3 design did a
+    # separate device round-trip (+ host O(K*T) scan before that) on the
+    # keyframe latency path.
+    ku = feats.u[slot]
+    kv = feats.v[slot]
+    d2k = ((ku[:, None] - template.u[0][None, :]) ** 2
+           + (kv[:, None] - template.v[0][None, :]) ** 2)
+    d2k = jnp.where(template.valid[0][None, :], d2k, 1e12)
+    nnk = jnp.argmin(d2k, axis=1)
+    kp_idepth = template.idepth[0][nnk]
+    kp_depth_ok = jnp.min(d2k, axis=1) <= 9.0
+
     # 8. flag + marginalize points
     window, removed_host, conn_marg = flag_and_marg_points(
         window, calib, flag_mask, cfg, mesh=mesh)
@@ -633,5 +649,7 @@ def kf_step(
                                   jnp.isfinite(t_f), True)),
         n_ind=jnp.sum(pts.ind_valid & pt_active[:, None]
                       & frames.valid[None, :]),
+        kp_idepth=kp_idepth,
+        kp_depth_ok=kp_depth_ok,
     )
     return window, calib, imm, feats, template, result, bundle

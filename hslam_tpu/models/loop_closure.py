@@ -80,6 +80,22 @@ class LoopCloser:
         self.dense_max_nodes = 512
         self._quantize = jax.jit(lambda d, v: bow_ops.quantize(self.vocab, d, v))
 
+    def _score_padded(self, q_bow, vecs):
+        """L1-score `q_bow` against a list of BoW vectors, padding the
+        database to power-of-two row counts: the database grows with every
+        keyframe and a shape-polymorphic jit would compile a fresh scoring
+        executable per size — a multi-second remote-compile stall on the
+        loop-closure worker for EVERY keyframe. Padded rows are zeros
+        (score 0.5 for an L1-normalized query) and are sliced off."""
+        M = len(vecs)
+        Mb = 8
+        while Mb < M:
+            Mb *= 2
+        db = np.zeros((Mb, len(q_bow)), np.float32)
+        db[:M] = np.stack(vecs)
+        return np.asarray(
+            bow_ops.l1_score(jnp.asarray(q_bow), jnp.asarray(db)))[:M]
+
     def add_keyframe(self, kf_id: int, shell_id: int,
                      desc: jnp.ndarray, kp_u, kp_v, valid,
                      cam_to_world: np.ndarray,
@@ -113,8 +129,8 @@ class LoopCloser:
         ]
         if not cands:
             return None
-        db = jnp.asarray(np.stack([self.entries[i].bow for i in cands]))
-        scores = np.asarray(bow_ops.l1_score(jnp.asarray(q.bow), db))
+        scores = self._score_padded(q.bow,
+                                    [self.entries[i].bow for i in cands])
 
         # reference score from temporally-adjacent keyframes
         adj = [
@@ -122,9 +138,7 @@ class LoopCloser:
             if 0 < abs(e.kf_id - q.kf_id) < 4
         ]
         if adj:
-            adj_scores = np.asarray(
-                bow_ops.l1_score(jnp.asarray(q.bow), jnp.asarray(np.stack(adj)))
-            )
+            adj_scores = self._score_padded(q.bow, adj)
             min_ref = float(adj_scores.max()) * self.min_score_ratio
         else:
             min_ref = 0.05

@@ -905,17 +905,21 @@ class SLAMSystem:
                     self._map_busy = False
                     self._qcond.notify_all()
 
-    def finish(self):
+    def finish(self, wait_lc: bool = True):
         """BlockUntilMappingIsFinished (Mapping.cpp:216-224): drain the
-        mapping queue AND the loop-closure worker, then fold in any pending
-        correction (the mapping thread is idle at the barrier, so applying
-        here cannot race a kf_step). No-op in sequential mode."""
+        mapping queue; with `wait_lc` (default) also the loop-closure
+        worker, folding in any pending correction (the mapping thread is
+        idle at the barrier, so applying here cannot race a kf_step).
+        `wait_lc=False` leaves the LC worker free-running — loop closure
+        is an asynchronous background service, not per-frame work, so
+        steady-state throughput measurements should not block on it.
+        No-op in sequential mode."""
         if self.sequential:
             return
         with self._qcond:
             while self._queue or self._map_busy:
                 self._qcond.wait()
-        if self._lc_thread is not None:
+        if wait_lc and self._lc_thread is not None:
             with self._lc_cond:
                 while self._lc_queue or self._lc_busy:
                     self._lc_cond.wait()
@@ -1672,7 +1676,7 @@ class SLAMSystem:
         # the reference links DBoW3/g2o but never exercises them — this is
         # the declared-capability integration, "full hybrid mode")
         if self.enable_loop_closure:
-            self._loop_closure_step(slot, shell, pyr)
+            self._loop_closure_step(slot, shell, pyr, b)
 
     def _adapt_act_dist(self):
         """Density feedback on currentMinActDist (Mapping.cpp:332-351),
@@ -1699,7 +1703,7 @@ class SLAMSystem:
         self.current_min_act_dist = float(np.clip(d, 0.0, 4.0))
 
     # ---------------------------------------------------- loop closure
-    def _loop_closure_step(self, slot: int, shell: Shell, pyr):
+    def _loop_closure_step(self, slot: int, shell: Shell, pyr, bundle=None):
         """Per-keyframe loop-closure hook. Gathers the (cheap, device-side)
         inputs — descriptors + keypoint depth lift — then runs the heavy
         BoW/PnP/pose-graph work inline (sequential mode) or hands it to the
@@ -1723,9 +1727,14 @@ class SLAMSystem:
             ang = orb_ops.ic_angle(img, u, v)
             desc = orb_ops.rbrief(gaussian_blur7(img), u, v, ang)
 
-        # lift keypoints to inverse depths via the (just rebuilt) tracker
-        # template of this keyframe — feeds the PnP loop-edge estimation
-        kp_idepth, kp_depth_ok = self._lift_keypoint_depths(u, v)
+        # keypoint inverse depths (feeds the PnP loop-edge estimation):
+        # already computed inside the kf_step dispatch and pulled with the
+        # policy bundle — zero extra device round-trips on the KF path
+        if bundle is not None and self.cfg.enable_indirect:
+            kp_idepth = np.asarray(bundle.kp_idepth, np.float32)
+            kp_depth_ok = np.asarray(bundle.kp_depth_ok)
+        else:
+            kp_idepth, kp_depth_ok = self._lift_keypoint_depths(u, v)
         entry = (shell.kf_id, shell.id, desc, u, v, valid,
                  shell.cam_to_world.copy(), kp_idepth, kp_depth_ok)
         exclude = self._connected_kf_ids(shell.kf_id)
