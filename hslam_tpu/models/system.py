@@ -231,6 +231,7 @@ class SLAMSystem:
         # KF (Mapping.cpp:197). Never lost, never applied to stale frames.
         self._need_kf_after = -1
         self._catch_up = False
+        self._pending_kf_final = None   # deferred KF finalization (bundle)
         # lag-N pipelined-tracking frontier (process_frame_pipelined):
         # frame k's host finalization happens while frames k+1..k+lag compute
         # on device, which hides both the device time AND the ~25 ms
@@ -836,9 +837,15 @@ class SLAMSystem:
                 more = len(self._queue)
                 self._map_busy = True
             try:
-                # fold in any worker-computed loop correction BEFORE the
+                # a worker-computed loop correction folds in only AFTER
+                # any deferred keyframe finalization (the deferred
+                # bundle's poses predate the correction), and before the
                 # next keyframe/trace step touches the window
-                self._apply_pending_loop_corr()
+                with self._lc_corr_lock:
+                    corr_waiting = self._pending_loop_corr is not None
+                if corr_waiting:
+                    self._finalize_pending_kf()
+                    self._apply_pending_loop_corr()
                 if more > self.CATCHUP_DRAIN:
                     # severe overload (tracker far outrunning the mapper —
                     # the reference's drop-every-second-frame catch-up
@@ -864,14 +871,19 @@ class SLAMSystem:
                     self.n_frames_skipped += len(dropped)
                 if len(self.kf_shell_ids) <= 2:
                     # forced KFs for the first two tracked frames
-                    # (Mapping.cpp:160-167)
+                    # (Mapping.cpp:160-167); init gates live -> synchronous
+                    self._finalize_pending_kf()
                     t_kf = _time.perf_counter()
                     self._add_keyframe(shell, pyr, grads)
                     self.kf_latencies.append(_time.perf_counter() - t_kf)
                 elif more > 0:
                     if more > 3:
                         self._catch_up = True
+                    # dispatch the trace FIRST, then fold in a deferred KF
+                    # finalization — its bundle pull overlaps this item's
+                    # device work
                     self._process_non_kf(shell, pyr)
+                    self._finalize_pending_kf()
                     if self._catch_up:
                         # drop every second frame while behind
                         # (Mapping.cpp:177-192)
@@ -891,13 +903,17 @@ class SLAMSystem:
                     newest_sid = (self.kf_shell_ids[-1]
                                   if self.kf_shell_ids else -1)
                     if self._need_kf_after >= newest_sid:
+                        # the KF host policy reads the previous bundle's
+                        # mirrors — finalize it first
+                        self._finalize_pending_kf()
                         t_kf = _time.perf_counter()
-                        self._add_keyframe(shell, pyr, grads)
+                        self._add_keyframe(shell, pyr, grads, defer=True)
                         self.kf_latencies.append(
                             _time.perf_counter() - t_kf)
                         self._catch_up = False
                     else:
                         self._process_non_kf(shell, pyr)
+                        self._finalize_pending_kf()
             except BaseException as e:   # surfaced on the tracking thread
                 self._map_exc = e
             finally:
@@ -919,6 +935,8 @@ class SLAMSystem:
         with self._qcond:
             while self._queue or self._map_busy:
                 self._qcond.wait()
+        # the mapping thread is parked: fold in a deferred KF finalization
+        self._finalize_pending_kf()
         if wait_lc and self._lc_thread is not None:
             with self._lc_cond:
                 while self._lc_queue or self._lc_busy:
@@ -1507,12 +1525,20 @@ class SLAMSystem:
         )
 
     # ------------------------------------------------------------- keyframe
-    def _add_keyframe(self, shell: Shell, pyr, grads):
+    def _add_keyframe(self, shell: Shell, pyr, grads, defer: bool = False):
         """AddKeyframe (Mapping.cpp:12-142): host policy runs on mirrors of
         the previous keyframe's bundle (zero device touches), then the whole
         device pipeline (trace, insert, activation, BA, outlier removal,
         template, point+frame marginalization, new traces) is ONE kf_step
-        dispatch followed by ONE small async-staged bundle pull."""
+        dispatch followed by ONE small async-staged bundle pull.
+
+        `defer=True` (mapping thread, post-init): the tracker reference is
+        published IMMEDIATELY after the dispatch (the template leaves are
+        device futures the tracker consumes as they materialize) and the
+        bundle-dependent finalization is left pending — the mapping loop
+        folds it in around its next item, overlapping the ~90 ms of device
+        execution the pull would otherwise block on. Time-to-fresh-template
+        drops to the dispatch latency."""
         cfg = self.cfg
         F = cfg.max_frames
         shell.is_kf = True
@@ -1572,8 +1598,49 @@ class SLAMSystem:
         self.slot_shell[slot] = shell.id
         self.kf_shell_ids.append(shell.id)
 
-        # --- the ONE policy pull
+        # start the device->host copy of the policy bundle immediately
         _copy_to_host_async(bundle)
+
+        # publish the tracker reference NOW (coarseTracker_forNewKF double
+        # buffer, System.cpp:127-133, Mapping.cpp:93-100): the template
+        # arrays are futures of the dispatch above — the tracker blocks on
+        # them only when it actually warps, so freshness costs dispatch
+        # latency, not the full keyframe finalization. The BA-refined
+        # affine rides the bundle; until finalize the tracked (pre-BA)
+        # affine stands in (refreshed in _finalize_kf).
+        self._newest_template = template
+        ref = (template, slot, shell.id,
+               np.asarray(shell.aff, np.float64).copy(),
+               shell.exposure or 1.0)
+        if self.sequential:
+            (self.template, self.ref_slot, self.ref_shell_id,
+             self.ref_aff, self.ref_exposure) = ref
+            self.first_coarse_rmse = -1.0
+        else:
+            with self._ref_lock:
+                self._pending_ref = ref
+
+        pending = (shell, slot, flag_mask, bundle, template, pyr,
+                   _t0, _t1, _t2, _timing)
+        if defer and self.next_kf_id > 4:
+            # init gates are closed: finalization may ride the next item
+            self._pending_kf_final = pending
+        else:
+            self._finalize_kf(pending)
+
+    def _finalize_pending_kf(self):
+        if self._pending_kf_final is not None:
+            pending, self._pending_kf_final = self._pending_kf_final, None
+            self._finalize_kf(pending)
+
+    def _finalize_kf(self, pending):
+        """Bundle-dependent keyframe finalization: the ONE policy pull,
+        init/lost gates, shell pose publication, policy mirrors,
+        connectivity, selector adaptation, loop-closure hand-off."""
+        cfg = self.cfg
+        F = cfg.max_frames
+        (shell, slot, flag_mask, bundle, template, pyr,
+         _t0, _t1, _t2, _timing) = pending
         b = jax.device_get(bundle)
         rmse = float(b.rmse)
         if _timing:
@@ -1658,19 +1725,17 @@ class SLAMSystem:
             self.selector_pot = min(self._POT_LADDER,
                                     key=lambda p: abs(p - ideal))
 
-        # publish the tracker reference (coarseTracker_forNewKF double
-        # buffer, System.cpp:127-133, Mapping.cpp:93-100)
-        self._newest_template = template
-        ref = (template, slot, shell.id,
-               np.asarray(b.aff[slot], np.float64).copy(),
-               shell.exposure or 1.0)
-        if self.sequential:
-            (self.template, self.ref_slot, self.ref_shell_id,
-             self.ref_aff, self.ref_exposure) = ref
-            self.first_coarse_rmse = -1.0
-        else:
-            with self._ref_lock:
-                self._pending_ref = ref
+        # refresh the (already published) tracker reference's affine with
+        # the BA-refined value — the dispatch-time publish used the
+        # tracked affine
+        aff_ba = np.asarray(b.aff[slot], np.float64).copy()
+        with self._ref_lock:
+            if (self._pending_ref is not None
+                    and self._pending_ref[2] == shell.id):
+                pr = self._pending_ref
+                self._pending_ref = (pr[0], pr[1], pr[2], aff_ba, pr[4])
+            elif self.ref_shell_id == shell.id:
+                self.ref_aff = aff_ba
 
         # hybrid indirect layer: descriptors + loop closure (optional;
         # the reference links DBoW3/g2o but never exercises them — this is

@@ -59,13 +59,19 @@ def main():
     frames, _ = make_frames(args.frames)
     cfg = Config(max_frames=8, max_points=2048, max_immature=2048,
                  pyr_levels=6)
-    slam = SLAMSystem(FX, FY, CX, CY, W, H, cfg, sequential=True,
+    # pipelined warmup: the same kernel set bench.py compiles (and the
+    # persistent TPU cache already holds), not the sequential path's
+    # separate batched-hypothesis tracker
+    slam = SLAMSystem(FX, FY, CX, CY, W, H, cfg, sequential=False,
                       enable_loop_closure=False)
 
     print("warming up (init + compiles)...")
     t0 = time.perf_counter()
     for i, img in enumerate(frames):
-        slam.process_frame(img, i * 0.05)
+        slam.process_frame_pipelined(img, i * 0.05)
+    slam.flush_pipeline()
+    slam.finish()
+    slam.wait_compiles()
     print(f"  {len(frames)} frames in {time.perf_counter()-t0:.1f}s, "
           f"{slam.next_kf_id} KFs, initialized={slam.initialized}")
     assert slam.initialized and slam.template is not None
@@ -112,13 +118,26 @@ def main():
         args.reps)
     rows.append(("map cloud (viewer feed)", ms))
 
-    # the whole fused KF dispatch + the ONE bundle pull, measured live
-    def kf_like():
-        sel = slam._select_px(slam.selector_pot, pyr[0], grads,
-                              int(cfg.desired_immature_density), 11)
-        return sel
-    # (a full _add_keyframe mutates state; time its pieces instead and
-    # report the live numbers HSLAM_KF_TIMING prints during bench runs)
+    # the whole fused kf_step (trace + insert + activation + BA + template
+    # + marginalization + new traces) as ONE dispatch, state restored after
+    sel = slam._select_px(slam.selector_pot, pyr[0], grads,
+                          int(cfg.desired_immature_density), 11)
+    Twc = np.linalg.inv(slam.shells[-1].cam_to_world)
+    F = cfg.max_frames
+    free = np.flatnonzero(~np.asarray(slam.window.frames.valid))
+    kf_slot = int(free[0]) if free.size else 0
+    ms, _ = timed(lambda: slam._kf_step(
+        slam.window, slam.calib, slam.imm, slam.feats, tuple(pyr),
+        jnp.asarray(Twc[:3, :3], jnp.float32),
+        jnp.asarray(Twc[:3, 3], jnp.float32),
+        jnp.zeros(2), jnp.float32(1.0),
+        jnp.int32(kf_slot), jnp.int32(slam.next_kf_id),
+        jnp.int32(slam.ref_slot),
+        jnp.asarray(np.zeros(F, bool)),
+        jnp.float32(slam.current_min_act_dist),
+        jnp.int32(cfg.max_opt_iterations),
+        sel[0], sel[1], sel[2], sel[3]), args.reps)
+    rows.append(("kf_step (whole fused KF dispatch)", ms))
 
     if args.trace:
         from jax import profiler
@@ -140,9 +159,9 @@ def main():
         print(f"  {name:42s} {ms:8.2f}")
         total += ms
     print(f"  {'SUM of phases':42s} {total:8.2f}")
-    print("\n(the fused kf_step dispatch overlaps/fuses several of these; "
-          "bench.py with HSLAM_KF_TIMING=1 prints the live sel/dispatch/"
-          "pull split per keyframe)")
+    print("\n(bench.py with HSLAM_KF_TIMING=1 prints the live "
+          "sel/dispatch/pull split per keyframe)")
+    slam.close()
 
 
 if __name__ == "__main__":
