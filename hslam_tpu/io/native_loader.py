@@ -38,6 +38,10 @@ def _load_lib():
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ]
+            lib.loader_set_remap.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int, ctypes.c_int,
+            ]
             lib.loader_close.argtypes = [ctypes.c_void_p]
             lib.loader_count.restype = ctypes.c_int
             lib.loader_count.argtypes = [ctypes.c_void_p]
@@ -61,17 +65,32 @@ def available() -> bool:
     return _LIB is not None
 
 
+def _install_remap(handle, keeper, remap: np.ndarray):
+    """Install a (H_out, W_out, 2) geometric remap table (x, y source
+    coords, -1 = invalid) — workers then ship fully geometry+photometry
+    corrected frames (GeometricUndistorter.cpp:458-475 semantics, same
+    table ops/undistort.remap_image consumes)."""
+    m = np.ascontiguousarray(remap, np.float32)
+    assert m.ndim == 3 and m.shape[2] == 2
+    keeper.append(m)
+    _LIB.loader_set_remap(
+        handle, m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        m.shape[1], m.shape[0])
+
+
 class NativeLoader:
     """Threaded prefetching decoder over an explicit file list."""
 
     def __init__(self, paths: List[str], n_prefetch: int = 8,
                  n_threads: int = 2,
                  inv_response: Optional[np.ndarray] = None,
-                 inv_vignette: Optional[np.ndarray] = None):
+                 inv_vignette: Optional[np.ndarray] = None,
+                 remap: Optional[np.ndarray] = None):
         if not available():
             raise RuntimeError(
                 "native loader not built — run native/build.sh"
             )
+        self._keep = []
         arr = (ctypes.c_char_p * len(paths))(
             *[p.encode() for p in paths]
         )
@@ -92,6 +111,8 @@ class NativeLoader:
                 vig = v.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
                 self._keep_v = v
             _LIB.loader_set_photometric(self._h, resp, vig, vw, vh)
+        if remap is not None:
+            _install_remap(self._h, self._keep, remap)
         self._buf = None
 
     def __len__(self):
@@ -134,9 +155,11 @@ class NativeMemLoader:
     def __init__(self, n_frames: int, read_blob, n_prefetch: int = 8,
                  n_threads: int = 2,
                  inv_response: Optional[np.ndarray] = None,
-                 inv_vignette: Optional[np.ndarray] = None):
+                 inv_vignette: Optional[np.ndarray] = None,
+                 remap: Optional[np.ndarray] = None):
         if not available():
             raise RuntimeError("native loader not built — run native/build.sh")
+        self._keep = []
         self._h = _LIB.loader_open_mem(n_frames, n_threads)
         self._n = n_frames
         self._read_blob = read_blob
@@ -156,6 +179,8 @@ class NativeMemLoader:
                 vig = v.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
                 self._keep_v = v
             _LIB.loader_set_photometric(self._h, resp, vig, vw, vh)
+        if remap is not None:
+            _install_remap(self._h, self._keep, remap)
         self._buf = None
 
     def __len__(self):

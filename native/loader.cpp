@@ -14,6 +14,7 @@
 #include <opencv2/imgcodecs.hpp>
 #include <opencv2/imgproc.hpp>
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstring>
@@ -45,6 +46,13 @@ struct Loader {
   std::vector<float> inv_response;   // empty = identity
   std::vector<float> inv_vignette;   // empty = none
   int vig_w = 0, vig_h = 0;
+  // geometric undistortion remap (optional): (out_h*out_w*2) of (x, y)
+  // source coordinates, -1 marks invalid (output 0) — the same table the
+  // device path consumes (ops/undistort.remap_image); applying it here
+  // ships fully-corrected frames out of the worker pool (reference
+  // GeometricUndistorter::undistort, GeometricUndistorter.cpp:458-475)
+  std::vector<float> remap_uv;       // empty = none
+  int out_w = 0, out_h = 0;
 
   std::mutex mu;
   std::condition_variable cv_ready;
@@ -73,20 +81,53 @@ struct Loader {
       img = cv::imread(paths[idx], cv::IMREAD_GRAYSCALE);
     }
     if (img.empty()) return f;
-    f.width = img.cols;
-    f.height = img.rows;
-    f.data.resize(static_cast<size_t>(img.cols) * img.rows);
+    const int iw = img.cols, ih = img.rows;
+    // photometric first, geometric second (HaveCalib order,
+    // DatasetLoader.h:436-506)
+    std::vector<float> corrected(static_cast<size_t>(iw) * ih);
     const bool use_resp = inv_response.size() == 256;
-    const bool use_vig =
-        !inv_vignette.empty() && vig_w == img.cols && vig_h == img.rows;
-    for (int y = 0; y < img.rows; ++y) {
+    const bool use_vig = !inv_vignette.empty() && vig_w == iw && vig_h == ih;
+    for (int y = 0; y < ih; ++y) {
       const uint8_t* row = img.ptr<uint8_t>(y);
-      float* out = f.data.data() + static_cast<size_t>(y) * img.cols;
-      for (int x = 0; x < img.cols; ++x) {
+      float* out = corrected.data() + static_cast<size_t>(y) * iw;
+      for (int x = 0; x < iw; ++x) {
         float v = use_resp ? inv_response[row[x]] : static_cast<float>(row[x]);
-        if (use_vig) v *= inv_vignette[static_cast<size_t>(y) * img.cols + x];
+        if (use_vig) v *= inv_vignette[static_cast<size_t>(y) * iw + x];
         out[x] = v;
       }
+    }
+    if (!remap_uv.empty()) {
+      // bilinear remap with the device path's exact conventions
+      // (utils/interp.bilinear: clamp coords, clamp cell to W-2/H-2 so
+      // edge samples stay exact; x<0 in the table -> 0)
+      f.width = out_w;
+      f.height = out_h;
+      f.data.resize(static_cast<size_t>(out_w) * out_h);
+      for (int y = 0; y < out_h; ++y) {
+        float* out = f.data.data() + static_cast<size_t>(y) * out_w;
+        const float* uv = remap_uv.data() + static_cast<size_t>(y) * out_w * 2;
+        for (int x = 0; x < out_w; ++x) {
+          float sx = uv[2 * x], sy = uv[2 * x + 1];
+          if (sx < 0.f) {
+            out[x] = 0.f;
+            continue;
+          }
+          sx = std::min(std::max(sx, 0.f), static_cast<float>(iw - 1));
+          sy = std::min(std::max(sy, 0.f), static_cast<float>(ih - 1));
+          int ix = std::min(static_cast<int>(sx), iw - 2);
+          int iy = std::min(static_cast<int>(sy), ih - 2);
+          if (ix < 0) ix = 0;
+          if (iy < 0) iy = 0;
+          const float dx = sx - ix, dy = sy - iy;
+          const float* p = corrected.data() + static_cast<size_t>(iy) * iw + ix;
+          out[x] = p[0] * (1.f - dx) * (1.f - dy) + p[1] * dx * (1.f - dy) +
+                   p[iw] * (1.f - dx) * dy + p[iw + 1] * dx * dy;
+        }
+      }
+    } else {
+      f.width = iw;
+      f.height = ih;
+      f.data = std::move(corrected);
     }
     f.ok = true;
     return f;
@@ -184,6 +225,18 @@ void loader_push(void* h, int idx, const uint8_t* data, long len) {
     L->queue.push_back(idx);
   }
   L->cv_work.notify_all();
+}
+
+// Install a geometric remap table: map_uv is (out_h*out_w*2) floats of
+// (x, y) source coordinates, -1 = invalid (output 0). Workers then ship
+// fully geometry+photometry corrected frames.
+void loader_set_remap(void* h, const float* map_uv, int out_w, int out_h) {
+  auto* L = static_cast<Loader*>(h);
+  std::lock_guard<std::mutex> lk(L->mu);
+  L->remap_uv.assign(map_uv,
+                     map_uv + static_cast<size_t>(out_w) * out_h * 2);
+  L->out_w = out_w;
+  L->out_h = out_h;
 }
 
 void loader_set_photometric(void* h, const float* inv_response,

@@ -191,16 +191,21 @@ def main():
         # correction run in the C++ worker pool)
         from hslam_tpu.io import native_loader
         use_native = native_loader.available()
+        # the geometric remap also runs in the worker pool (loader_set_remap)
+        # so native-path frames arrive fully corrected — frees the device of
+        # per-frame remap gathers AND the host of a second pass
         if use_native and rd._zip is None:
             nl = native_loader.NativeLoader(
                 rd.files, n_prefetch=8, n_threads=2,
                 inv_response=inv_resp_np, inv_vignette=inv_vig_np,
+                remap=cam.remap,
             )
         elif use_native:
             nl = native_loader.NativeMemLoader(
                 len(rd), lambda i: rd._zip.read(rd.files[i]),
                 n_prefetch=8, n_threads=2,
                 inv_response=inv_resp_np, inv_vignette=inv_vig_np,
+                remap=cam.remap,
             )
         inv_resp = jnp.asarray(inv_resp_np) if inv_resp_np is not None else None
         inv_vig = jnp.asarray(inv_vig_np) if inv_vig_np is not None else None
@@ -211,14 +216,14 @@ def main():
         i = 0
         while i < n:
             if use_native:
-                # photometric correction already applied natively
+                # photometric + geometric correction already applied natively
                 img = jnp.asarray(nl.get(i))
                 ts, exp = rd.timestamps[i], rd.exposures[i]
             else:
                 fd = rd.get_raw(i)
                 img = photometric_correct(jnp.asarray(fd.image), inv_resp, inv_vig)
                 ts, exp = fd.timestamp, fd.exposure
-            img = remap_image(img, remap)
+                img = remap_image(img, remap)
             sys_.process_frame(np.asarray(img), ts, exp)
             if args.viz_dir and sys_.shells and sys_.shells[-1].is_kf:
                 os.makedirs(args.viz_dir, exist_ok=True)
