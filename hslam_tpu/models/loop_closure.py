@@ -239,7 +239,9 @@ class LoopCloser:
         ms.append(loop.rel_s)
         mR.append(T_rel[:3, :3])
         mt.append(T_rel[:3, 3])
-        w.append(float(loop.n_inliers))
+        # capped: a raw inlier count can make one (possibly wrong) loop
+        # edge hundreds of times stiffer than the odometry chain
+        w.append(float(min(loop.n_inliers, 50)))
 
         pg = pg_mod.make_graph(
             s, R, t, jnp.ones(N, bool),
@@ -276,10 +278,26 @@ class LoopCloser:
                 pg, n_iters=8, cg_iters=min(4 * Nb, 4000),
                 fix_scale=fix_scale
             )
-        out = []
         s_np = np.asarray(s_new)
         R_np = np.asarray(R_new)
         t_np = np.asarray(t_new)
+        # acceptance gate: the relaxation must be finite AND have reduced
+        # the weighted chi^2 — a wrong-match loop edge can drive the solve
+        # into divergence, and applying that "correction" destroys the map
+        # (observed: BA NaN after a bad correction in the 500-frame run)
+        if not (np.all(np.isfinite(s_np)) and np.all(np.isfinite(R_np))
+                and np.all(np.isfinite(t_np))):
+            return []
+        wts = np.asarray(pg.weight)
+        r0 = np.asarray(pg_mod.residuals(pg, jnp.zeros((Nb, 7))))
+        chi0 = float(np.sum(wts * np.sum(r0 ** 2, -1)))
+        pg_out = pg._replace(s=jnp.asarray(s_np), R=jnp.asarray(R_np),
+                             t=jnp.asarray(t_np))
+        r1 = np.asarray(pg_mod.residuals(pg_out, jnp.zeros((Nb, 7))))
+        chi1 = float(np.sum(wts * np.sum(r1 ** 2, -1)))
+        if not np.isfinite(chi1) or chi1 >= chi0:
+            return []
+        out = []
         for i, e in enumerate(self.entries):
             Twc = np.eye(4)
             # sim3 world-to-kf -> rigid cam_to_world with the scale folded

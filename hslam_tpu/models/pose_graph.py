@@ -29,6 +29,12 @@ import jax.numpy as jnp
 from ..utils import lie
 
 
+# per-GN-iteration cap on each node's sim3 tangent step norm (trust
+# region): real corrections move nodes by far less per iteration; an
+# inconsistent edge otherwise explodes through exp()
+MAX_NODE_STEP = 1.0
+
+
 class PoseGraph(NamedTuple):
     # states: world-to-kf sim3 as (s (N,), R (N,3,3), t (N,3))
     s: jnp.ndarray
@@ -91,6 +97,11 @@ def optimize_pose_graph(pg: PoseGraph, n_iters: int = 10,
         H = H + jnp.diag(jnp.maximum(jnp.diag(H) * lam, 1e-8) + (1.0 - mask))
         dx = -jnp.linalg.solve(H, b)
         dx = (dx * mask).reshape(N, 7)
+        # trust region: bound each node's tangent step — an inconsistent
+        # (wrong-match) loop edge otherwise drives exp() of huge sim3
+        # tangents into overflow and the next iteration into NaN
+        nrm = jnp.linalg.norm(dx, axis=1, keepdims=True)
+        dx = dx * jnp.minimum(1.0, MAX_NODE_STEP / jnp.maximum(nrm, 1e-12))
 
         ds, dR, dt = lie.sim3_exp(dx)
         s_new = pg.s * ds
@@ -233,6 +244,9 @@ def optimize_pose_graph_pcg(pg: PoseGraph, n_iters: int = 10,
         dx, _, _, _, _ = jax.lax.while_loop(
             cg_cond, cg_body, (x0, r, p, rz, jnp.int32(0)))
         dx = dx * node_mask
+        # trust region (see dense path): bound per-node tangent steps
+        nrm = jnp.linalg.norm(dx, axis=1, keepdims=True)
+        dx = dx * jnp.minimum(1.0, MAX_NODE_STEP / jnp.maximum(nrm, 1e-12))
 
         ds, dR, dt = lie.sim3_exp(dx)
         return pg._replace(

@@ -1857,6 +1857,8 @@ class SLAMSystem:
         if loop is None:
             return None
         corrections = self.loop_closer.correct(loop, fix_scale=False)
+        if not corrections:
+            return None    # relaxation rejected (divergence gate)
         self.n_loops_closed += 1
         return dict(corrections)
 

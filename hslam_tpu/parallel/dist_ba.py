@@ -69,9 +69,13 @@ def sharded_ba_optimize(mesh: Mesh, wnd: W.Window, calib: Calib, cfg: Config,
     def opt(wnd_l, calib_l, n):
         return ba_optimize(wnd_l, calib_l, cfg, n, axis="points")
 
-    # np scalar (not a committed device array): multi-process meshes treat
-    # numpy inputs as replicated, device arrays as local-only
-    return opt(wnd, calib, np.int32(n_iter))
+    # Plain ints become np scalars (not committed device arrays):
+    # multi-process meshes treat numpy inputs as replicated, device arrays
+    # as local-only. Tracers/arrays pass through untouched — kf_step calls
+    # this inside its own jit with a traced iteration count.
+    if isinstance(n_iter, (int, np.integer)):
+        n_iter = np.int32(n_iter)
+    return opt(wnd, calib, n_iter)
 
 
 def sharded_marginalize_points(mesh: Mesh, wnd: W.Window, calib: Calib,
