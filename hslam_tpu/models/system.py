@@ -161,7 +161,8 @@ class SLAMSystem:
             from .loop_closure import LoopCloser
             self.loop_closer = LoopCloser(
                 bow_ops.load_vocabulary(vocab_path), min_gap=10,
-                dist_mesh=dist_mesh)
+                dist_mesh=dist_mesh,
+                min_loop_error=0.15, consistency_th=2)
         self.n_loops_closed = 0
         self.n_relocs = 0    # successful BoW/PnP relocalizations
         self._metrics_f = open(metrics_path, "w") if metrics_path else None
@@ -1832,7 +1833,9 @@ class SLAMSystem:
                 voc = bow_ops.train_vocabulary(pool, k=8, levels=3, iters=4,
                                                doc_ids=doc_ids)
                 self.loop_closer = LoopCloser(voc, min_gap=10,
-                                              dist_mesh=self.dist_mesh)
+                                              dist_mesh=self.dist_mesh,
+                                              min_loop_error=0.15,
+                                              consistency_th=2)
                 # backfill the keyframes that fed the vocabulary — without
                 # them the revisit has nothing to match against
                 for e in self._pending_entries:

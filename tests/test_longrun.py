@@ -1,12 +1,15 @@
 """Long-sequence drift test (round-1 verdict item 7): 500 frames of a slow
 lissajous sweep over the textured plane with mild exposure flicker.
 
-Exercises, in one run: the mode-1 linearized-residual FEJ chain over ~87
-keyframe insertions/marginalizations, the hybrid indirect layer, ~50 live
-loop-closure corrections through the common-gauge window re-anchor, and the
-affine brightness model (flicker). The ATE bound is calibrated from a clean
-run (0.155 at scene depth 2.0); silent FEJ/marginalization drift bugs —
-the error class called out in the verdict — blow well past it.
+Exercises, in one run: the mode-1 linearized-residual FEJ chain over ~85
+keyframe insertions/marginalizations, the hybrid indirect layer, the live
+loop-closure pipeline (BoW detect + PnP + significance/consistency gates
+— on this near-drift-free planar scene the gates correctly REJECT
+sub-noise-floor corrections: round-4 measurement showed micro-corrections
+turning ATE 0.07 into 0.38), and the affine brightness model (flicker).
+Pure-odometry reference ATE: 0.069 at scene depth 2.0; silent
+FEJ/marginalization drift bugs — the error class called out in the
+verdict — blow well past the bound.
 """
 import numpy as np
 import jax.numpy as jnp
@@ -51,6 +54,10 @@ def test_500_frame_drift_bounded():
 
     assert slam.initialized
     assert slam.next_kf_id > 50            # real marginalization churn
+    # the loop-closure pipeline must have RUN (database populated, detect
+    # exercised every keyframe) even when the gates reject corrections
+    assert slam.loop_closer is not None
+    assert len(slam.loop_closer.entries) > 50
     err = ate_rmse(np.array([g[:3, 3] for g in gt_all]),
                    np.array([e[:3, 3] for e in est_all]))
     # calibrated: 0.155 on a clean run (depth 2.0); FEJ drift bugs explode it
