@@ -66,8 +66,10 @@ _backend = (_os.environ.get("JAX_PLATFORMS", "") or "").split(",")[0]
 # entries embed "+prefer-no-gather/scatter" pseudo-features that never
 # match the host on reload (every load fails with feature-mismatch spam
 # and recompiles anyway), and concurrent writes have segfaulted CI. Only
-# enable it where it works (TPU/axon), or when explicitly requested.
-if _cache_dir != "0" and (_cache_dir or _backend not in ("cpu",)):
+# enable it on a KNOWN-accelerator backend (an unset JAX_PLATFORMS most
+# often resolves to CPU), or when explicitly requested via HSLAM_JAX_CACHE.
+if _cache_dir != "0" and (_cache_dir or _backend in ("axon", "tpu", "gpu",
+                                                     "cuda", "rocm")):
     try:
         _jax.config.update(
             "jax_compilation_cache_dir", _cache_dir or _default_cache_dir())

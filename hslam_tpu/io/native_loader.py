@@ -23,6 +23,11 @@ def _load_lib():
         p = os.path.abspath(p)
         if os.path.exists(p):
             lib = ctypes.CDLL(p)
+            if not hasattr(lib, "loader_set_remap"):
+                # stale build predating the remap ABI — fall back to the
+                # pure-python path ("falls back gracefully" contract);
+                # native/build.sh rebuilds it
+                return None
             lib.loader_open.restype = ctypes.c_void_p
             lib.loader_open.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,

@@ -577,15 +577,19 @@ def kf_step(
     # level-0 template point within 3 px. Riding this dispatch means the
     # depths arrive in the SAME bundle pull — the round-3 design did a
     # separate device round-trip (+ host O(K*T) scan before that) on the
-    # keyframe latency path.
-    ku = feats.u[slot]
-    kv = feats.v[slot]
-    d2k = ((ku[:, None] - template.u[0][None, :]) ** 2
-           + (kv[:, None] - template.v[0][None, :]) ** 2)
-    d2k = jnp.where(template.valid[0][None, :], d2k, 1e12)
-    nnk = jnp.argmin(d2k, axis=1)
-    kp_idepth = template.idepth[0][nnk]
-    kp_depth_ok = jnp.min(d2k, axis=1) <= 9.0
+    # keyframe latency path. Indirect-off configs never consume it, so
+    # skip the (NF x C0) distance matrix there.
+    if cfg.enable_indirect:
+        kp_id_lift, kp_d2 = trk_ops.nearest_template_depth(
+            feats.u[slot], feats.v[slot],
+            template.u[0], template.v[0],
+            template.idepth[0], template.valid[0])
+        kp_idepth = kp_id_lift
+        kp_depth_ok = kp_d2 <= 9.0
+    else:
+        NF_ = feats.u.shape[1]
+        kp_idepth = jnp.zeros(NF_, jnp.float32)
+        kp_depth_ok = jnp.zeros(NF_, bool)
 
     # 8. flag + marginalize points
     window, removed_host, conn_marg = flag_and_marg_points(

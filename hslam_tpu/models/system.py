@@ -156,7 +156,7 @@ class SLAMSystem:
             vocab_path = default_vocab_path()   # shipped artifact (or None)
         elif vocab_path == "online":
             vocab_path = None
-        if vocab_path is not None:
+        if enable_loop_closure and vocab_path is not None:
             from ..ops import bow as bow_ops
             from .loop_closure import LoopCloser
             self.loop_closer = LoopCloser(
@@ -466,18 +466,10 @@ class SLAMSystem:
 
         self._map_cloud = map_cloud
 
-        @jax.jit
-        def lift_depths(ku, kv, tu, tv, tid, tval):
-            """Nearest-template-point lookup for keypoint depth lifting —
-            the device replacement for the host O(K*T) numpy distance
-            matrix that sat inside the per-KF latency budget."""
-            d2 = ((ku[:, None] - tu[None, :]) ** 2
-                  + (kv[:, None] - tv[None, :]) ** 2)
-            d2 = jnp.where(tval[None, :], d2, 1e12)
-            nn = jnp.argmin(d2, axis=1)
-            return tid[nn], jnp.min(d2, axis=1)
-
-        self._lift_depths = lift_depths
+        # device keypoint depth lift (shared with kf_step's in-dispatch
+        # version, ops/tracker.nearest_template_depth) — used by the
+        # relocalization and non-indirect loop-closure paths
+        self._lift_depths = jax.jit(trk_ops.nearest_template_depth)
 
     def _select_px(self, pot, dir_img, grads, want, seed):
         """Candidate pixel source. Default: the PixelSelector gradient

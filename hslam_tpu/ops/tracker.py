@@ -61,6 +61,18 @@ class Template(NamedTuple):
     valid: List[jnp.ndarray]    # (C_l,) bool
 
 
+def nearest_template_depth(ku, kv, tu, tv, tid, tval):
+    """Nearest valid template point per keypoint — the depth-lift used by
+    loop closure and relocalization (PnP needs 3D for the keyframe's
+    keypoints). Returns (idepth (K,), squared distance (K,)); callers gate
+    on the distance (typically <= 9 px^2)."""
+    d2 = ((ku[:, None] - tu[None, :]) ** 2
+          + (kv[:, None] - tv[None, :]) ** 2)
+    d2 = jnp.where(tval[None, :], d2, 1e12)
+    nn = jnp.argmin(d2, axis=1)
+    return tid[nn], jnp.min(d2, axis=1)
+
+
 def rel_affine(exp_ref: jnp.ndarray, exp_new: jnp.ndarray,
                aff_ref: jnp.ndarray, aff_new: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """AffLight::fromToVecExposure (GlobalTypes.h:334-346):

@@ -20,6 +20,7 @@
 #include <cstring>
 #include <deque>
 #include <map>
+#include <memory>
 #include <mutex>
 #include <set>
 #include <string>
@@ -41,17 +42,19 @@ struct Loader {
   bool mem_mode = false;  // frames arrive as compressed blobs (loader_push)
   std::map<int, std::vector<uint8_t>> blobs;
   int n_prefetch;
-  // photometric correction (optional): 256-entry inverse response,
-  // full-resolution inverse vignette
-  std::vector<float> inv_response;   // empty = identity
-  std::vector<float> inv_vignette;   // empty = none
+  // Correction tables, installed once from Python and snapshotted by the
+  // workers under the mutex (shared_ptr: an install racing a decode can
+  // never invalidate the worker's view).
+  // photometric (optional): 256-entry inverse response, full-res 1/V
+  std::shared_ptr<const std::vector<float>> inv_response;  // null = identity
+  std::shared_ptr<const std::vector<float>> inv_vignette;  // null = none
   int vig_w = 0, vig_h = 0;
   // geometric undistortion remap (optional): (out_h*out_w*2) of (x, y)
   // source coordinates, -1 marks invalid (output 0) — the same table the
   // device path consumes (ops/undistort.remap_image); applying it here
   // ships fully-corrected frames out of the worker pool (reference
   // GeometricUndistorter::undistort, GeometricUndistorter.cpp:458-475)
-  std::vector<float> remap_uv;       // empty = none
+  std::shared_ptr<const std::vector<float>> remap_uv;      // null = none
   int out_w = 0, out_h = 0;
 
   std::mutex mu;
@@ -82,31 +85,44 @@ struct Loader {
     }
     if (img.empty()) return f;
     const int iw = img.cols, ih = img.rows;
+    // snapshot the correction tables under the mutex
+    std::shared_ptr<const std::vector<float>> resp, vig, remap;
+    int r_w = 0, r_h = 0, v_w = 0, v_h = 0;
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      resp = inv_response;
+      vig = inv_vignette;
+      remap = remap_uv;
+      r_w = out_w;
+      r_h = out_h;
+      v_w = vig_w;
+      v_h = vig_h;
+    }
     // photometric first, geometric second (HaveCalib order,
     // DatasetLoader.h:436-506)
     std::vector<float> corrected(static_cast<size_t>(iw) * ih);
-    const bool use_resp = inv_response.size() == 256;
-    const bool use_vig = !inv_vignette.empty() && vig_w == iw && vig_h == ih;
+    const bool use_resp = resp && resp->size() == 256;
+    const bool use_vig = vig && v_w == iw && v_h == ih;
     for (int y = 0; y < ih; ++y) {
       const uint8_t* row = img.ptr<uint8_t>(y);
       float* out = corrected.data() + static_cast<size_t>(y) * iw;
       for (int x = 0; x < iw; ++x) {
-        float v = use_resp ? inv_response[row[x]] : static_cast<float>(row[x]);
-        if (use_vig) v *= inv_vignette[static_cast<size_t>(y) * iw + x];
+        float v = use_resp ? (*resp)[row[x]] : static_cast<float>(row[x]);
+        if (use_vig) v *= (*vig)[static_cast<size_t>(y) * iw + x];
         out[x] = v;
       }
     }
-    if (!remap_uv.empty()) {
+    if (remap) {
       // bilinear remap with the device path's exact conventions
       // (utils/interp.bilinear: clamp coords, clamp cell to W-2/H-2 so
       // edge samples stay exact; x<0 in the table -> 0)
-      f.width = out_w;
-      f.height = out_h;
-      f.data.resize(static_cast<size_t>(out_w) * out_h);
-      for (int y = 0; y < out_h; ++y) {
-        float* out = f.data.data() + static_cast<size_t>(y) * out_w;
-        const float* uv = remap_uv.data() + static_cast<size_t>(y) * out_w * 2;
-        for (int x = 0; x < out_w; ++x) {
+      f.width = r_w;
+      f.height = r_h;
+      f.data.resize(static_cast<size_t>(r_w) * r_h);
+      for (int y = 0; y < r_h; ++y) {
+        float* out = f.data.data() + static_cast<size_t>(y) * r_w;
+        const float* uv = remap->data() + static_cast<size_t>(y) * r_w * 2;
+        for (int x = 0; x < r_w; ++x) {
           float sx = uv[2 * x], sy = uv[2 * x + 1];
           if (sx < 0.f) {
             out[x] = 0.f;
@@ -196,7 +212,10 @@ void* loader_open(const char** paths, int n, int n_prefetch, int n_threads) {
   L->n_prefetch = n_prefetch;
   for (int i = 0; i < n_threads; ++i)
     L->workers.emplace_back([L] { L->worker(); });
-  L->schedule_ahead(0);
+  // no eager schedule_ahead(0): Python installs the correction tables
+  // between loader_open and the first loader_get — decoding before they
+  // land would cache frame 0 uncorrected (and at the wrong resolution
+  // when a remap is configured)
   return L;
 }
 
@@ -232,9 +251,10 @@ void loader_push(void* h, int idx, const uint8_t* data, long len) {
 // fully geometry+photometry corrected frames.
 void loader_set_remap(void* h, const float* map_uv, int out_w, int out_h) {
   auto* L = static_cast<Loader*>(h);
+  auto tab = std::make_shared<std::vector<float>>(
+      map_uv, map_uv + static_cast<size_t>(out_w) * out_h * 2);
   std::lock_guard<std::mutex> lk(L->mu);
-  L->remap_uv.assign(map_uv,
-                     map_uv + static_cast<size_t>(out_w) * out_h * 2);
+  L->remap_uv = std::move(tab);
   L->out_w = out_w;
   L->out_h = out_h;
 }
@@ -242,11 +262,17 @@ void loader_set_remap(void* h, const float* map_uv, int out_w, int out_h) {
 void loader_set_photometric(void* h, const float* inv_response,
                             const float* inv_vignette, int vw, int vh) {
   auto* L = static_cast<Loader*>(h);
+  std::shared_ptr<std::vector<float>> resp, vig;
+  if (inv_response)
+    resp = std::make_shared<std::vector<float>>(inv_response,
+                                                inv_response + 256);
+  if (inv_vignette)
+    vig = std::make_shared<std::vector<float>>(
+        inv_vignette, inv_vignette + static_cast<size_t>(vw) * vh);
   std::lock_guard<std::mutex> lk(L->mu);
-  if (inv_response) L->inv_response.assign(inv_response, inv_response + 256);
-  if (inv_vignette) {
-    L->inv_vignette.assign(inv_vignette,
-                           inv_vignette + static_cast<size_t>(vw) * vh);
+  if (resp) L->inv_response = std::move(resp);
+  if (vig) {
+    L->inv_vignette = std::move(vig);
     L->vig_w = vw;
     L->vig_h = vh;
   }
