@@ -41,12 +41,11 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # HSLAM_JAX_CACHE to override, or HSLAM_JAX_CACHE=0 to disable entirely.
 
 
-def _default_cache_dir():
+def _default_cache_dir(backend="auto"):
     import hashlib
     import platform
 
-    backend = _os.environ.get("JAX_PLATFORMS", "") or "auto"
-    backend = backend.split(",")[0] or "auto"
+    backend = backend or "auto"
     feat = ""
     try:
         with open("/proc/cpuinfo") as f:
@@ -60,19 +59,57 @@ def _default_cache_dir():
     return f"/tmp/hslam_jax_cache-{tag}"
 
 
-_cache_dir = _os.environ.get("HSLAM_JAX_CACHE")
-_backend = (_os.environ.get("JAX_PLATFORMS", "") or "").split(",")[0]
-# On the CPU backend the persistent cache is a net negative: XLA:CPU AOT
-# entries embed "+prefer-no-gather/scatter" pseudo-features that never
-# match the host on reload (every load fails with feature-mismatch spam
-# and recompiles anyway), and concurrent writes have segfaulted CI. Only
-# enable it on a KNOWN-accelerator backend (an unset JAX_PLATFORMS most
-# often resolves to CPU), or when explicitly requested via HSLAM_JAX_CACHE.
-if _cache_dir != "0" and (_cache_dir or _backend in ("axon", "tpu", "gpu",
-                                                     "cuda", "rocm")):
+_cache_decided = False
+
+
+def ensure_compile_cache():
+    """Enable the persistent compile cache iff the RESOLVED backend is an
+    accelerator. On the CPU backend the cache is a net negative: XLA:CPU
+    AOT entries embed "+prefer-no-gather/scatter" pseudo-features that
+    never match the host on reload (every load fails with feature-mismatch
+    spam and recompiles anyway), and concurrent writes have segfaulted CI.
+
+    Called lazily (SLAMSystem construction / bench / driver entry) rather
+    than at import: resolving the backend here is safe, whereas doing it
+    at import time would break callers that must run
+    jax.distributed.initialize() BEFORE first backend use
+    (tests/test_multihost.py). Set HSLAM_JAX_CACHE=<dir> to force a cache
+    path, or HSLAM_JAX_CACHE=0 to disable entirely."""
+    global _cache_decided
+    if _cache_decided:
+        return
+    _cache_decided = True
+    cache_dir = _os.environ.get("HSLAM_JAX_CACHE")
+    if cache_dir == "0":
+        return
+    if not cache_dir:
+        try:
+            backend = _jax.default_backend()
+        except Exception:
+            return
+        if backend in ("cpu",):
+            return
+        cache_dir = _default_cache_dir(backend)
     try:
-        _jax.config.update(
-            "jax_compilation_cache_dir", _cache_dir or _default_cache_dir())
+        _jax.config.update("jax_compilation_cache_dir", cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+# Explicit env configuration keeps the old eager behavior (no backend
+# resolution needed): a KNOWN-accelerator JAX_PLATFORMS, or a forced dir.
+_cache_dir = _os.environ.get("HSLAM_JAX_CACHE")
+_backend = (_os.environ.get("JAX_PLATFORMS", "") or "").split(",")[0]
+if _cache_dir != "0" and (_cache_dir or _backend in ("axon", "tpu", "gpu",
+                                                     "cuda", "rocm")):
+    _cache_decided = True
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _cache_dir or _default_cache_dir(_backend))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+elif _backend == "cpu":
+    _cache_decided = True   # explicit CPU: cache stays off, decision final

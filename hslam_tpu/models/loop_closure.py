@@ -76,25 +76,30 @@ class LoopCloser:
                  min_gap: int = 15,
                  min_inliers: int = 25,
                  dist_mesh=None,
-                 min_loop_error: float = 0.0,
+                 min_loop_error_rel: float = 0.0,
                  consistency_th: int = 1):
-        """`min_loop_error`: only emit a loop whose measured transform
+        """`min_loop_error_rel`: only emit a loop whose measured transform
         disagrees with the current (drifted) estimate by more than this
-        translation (map units) or ~2x this rotation (rad) — correcting
-        below the PnP noise floor injects error instead of removing drift.
-        `consistency_th`: consecutive keyframes that must agree on the
-        candidate place before a loop fires (ORB-SLAM's covisibility
-        consistency idea at its cheapest)."""
+        multiple of the RUN SCALE (median consecutive-keyframe baseline —
+        monocular map units are arbitrary per run, so an absolute
+        threshold either suppresses every real loop on small-unit runs or
+        passes noise on large-unit ones) in translation, or 0.3 rad in
+        rotation — correcting below the PnP noise floor injects error
+        instead of removing drift. `consistency_th`: consecutive keyframes
+        that must agree on the candidate place before a loop fires
+        (ORB-SLAM's covisibility consistency idea at its cheapest)."""
         self.vocab = vocab
         self.entries: List[KeyframeEntry] = []
         self.min_score_ratio = min_score_ratio
         self.min_gap = min_gap
         self.min_inliers = min_inliers
-        self.min_loop_error = min_loop_error
+        self.min_loop_error_rel = min_loop_error_rel
+        self.min_loop_rot = 0.3            # rad — scale-free, stays absolute
         self.consistency_th = consistency_th
         # forward/reverse PnP transforms must invert each other within
-        # this tangent tolerance (translation units / radians)
-        self.mutual_tol = 0.05
+        # this run-scale multiple (translation) / these radians (rotation)
+        self.mutual_tol_rel = 0.8
+        self.mutual_rot_tol = 0.05
         self._prev_cand_kf: Optional[int] = None
         self._consist_count = 0
         # optional jax.sharding.Mesh: KITTI-length relaxations shard their
@@ -104,6 +109,43 @@ class LoopCloser:
         # larger ones use matrix-free PCG (sharded when a mesh is set)
         self.dense_max_nodes = 512
         self._quantize = jax.jit(lambda d, v: bow_ops.quantize(self.vocab, d, v))
+
+    def run_scale(self) -> float:
+        """Median consecutive-entry camera baseline — the per-run unit that
+        normalizes the translation gates (monocular scale is arbitrary)."""
+        if len(self.entries) < 2:
+            return 1.0
+        c = np.stack([e.cam_to_world[:3, 3] for e in self.entries])
+        d = np.linalg.norm(np.diff(c, axis=0), axis=1)
+        d = d[d > 1e-9]
+        if d.size == 0:
+            return 1.0
+        return float(max(np.median(d), 1e-6))
+
+    def warmup(self, n_feat: int, n_words_img: int = 64):
+        """Compile every kernel detect() can touch on dummy fixed-shape
+        inputs (BoW quantize/score, descriptor matching, PnP) so the first
+        real loop candidate — or a relocalization during a paced run —
+        never stalls on a fresh XLA compile. Called from SLAMSystem's
+        background precompile thread."""
+        desc = jnp.zeros((n_feat, 8), jnp.uint32)
+        valid = jnp.ones(n_feat, bool)
+        words = self._quantize(desc, valid)
+        vec = bow_ops.bow_vector(words, self.vocab.n_words,
+                                 idf=self.vocab.idf)
+        q = np.asarray(vec)
+        for rows in (8, 16):
+            self._score_padded(q, [q] * rows)
+        orb_ops.match_descriptors_jit(desc, desc, valid_a=valid,
+                                      valid_b=valid)
+        from ..ops import pnp as pnp_ops
+        X = jnp.zeros((n_feat, 3), jnp.float32).at[:, 2].set(1.0)
+        obs = jnp.zeros((n_feat, 2), jnp.float32)
+        Kd = jnp.asarray(np.eye(3), jnp.float32)
+        pnp_ops.solve_pnp_jit(X, obs, valid, Kd, jax.random.PRNGKey(0),
+                              min_inliers=self.min_inliers,
+                              init_R=jnp.eye(3, dtype=jnp.float32),
+                              init_t=jnp.zeros(3, jnp.float32))
 
     def _score_padded(self, q_bow, vecs):
         """L1-score `q_bow` against a list of BoW vectors, padding the
@@ -153,6 +195,11 @@ class LoopCloser:
             and e.kf_id not in exclude_kfs
         ]
         if not cands:
+            # no candidates: a streak from much earlier keyframes must not
+            # survive to let a later one-shot candidate bypass the
+            # consistency gate
+            self._prev_cand_kf = None
+            self._consist_count = 0
             return None
         scores = self._score_padded(q.bow,
                                     [self.entries[i].bow for i in cands])
@@ -191,7 +238,7 @@ class LoopCloser:
             return None
 
         # geometric verification: descriptor match (candidate -> query)
-        idx_q, ok = orb_ops.match_descriptors(
+        idx_q, ok = orb_ops.match_descriptors_jit(
             jnp.asarray(cand.desc), jnp.asarray(q.desc),
             valid_a=jnp.asarray(cand.valid), valid_b=jnp.asarray(q.valid),
         )
@@ -223,7 +270,7 @@ class LoopCloser:
         # the current (drifted) estimate of the relative pose seeds the
         # solver — the 6-point DLT alone is degenerate on coplanar scenes
         T_init = np.linalg.inv(q.cam_to_world) @ cand.cam_to_world
-        res = pnp_ops.solve_pnp(
+        res = pnp_ops.solve_pnp_jit(
             jnp.asarray(X_cand, jnp.float32), jnp.asarray(obs, jnp.float32),
             jnp.asarray(valid), jnp.asarray(K, jnp.float32),
             jax.random.PRNGKey(q.kf_id), min_inliers=self.min_inliers,
@@ -263,7 +310,7 @@ class LoopCloser:
             T_fw[:3, :3] = np.asarray(res.R)
             T_fw[:3, 3] = np.asarray(res.t)
             T_init_rev = np.linalg.inv(T_fw)
-            res_rev = pnp_ops.solve_pnp(
+            res_rev = pnp_ops.solve_pnp_jit(
                 jnp.asarray(X_rev, jnp.float32),
                 jnp.asarray(obs_rev, jnp.float32),
                 jnp.asarray(valid_rev), jnp.asarray(K, jnp.float32),
@@ -282,9 +329,13 @@ class LoopCloser:
             err_t = float(np.linalg.norm(E[:3, 3]))
             cos_r = (np.trace(E[:3, :3]) - 1.0) / 2.0
             err_r = float(np.arccos(np.clip(cos_r, -1.0, 1.0)))
-            if err_t > self.mutual_tol or err_r > self.mutual_tol:
+            # translation tolerance in run-scale units (monocular map
+            # units are arbitrary per run); rotation is scale-free
+            tol_t = self.mutual_tol_rel * self.run_scale()
+            if err_t > tol_t or err_r > self.mutual_rot_tol:
                 _dbg(f"q{q.kf_id}: kf{cand.kf_id} mutual check failed "
-                     f"err_t={err_t:.4f} err_r={err_r:.4f}")
+                     f"err_t={err_t:.4f} (tol {tol_t:.4f}) "
+                     f"err_r={err_r:.4f}")
                 return None
             _dbg(f"q{q.kf_id}: kf{cand.kf_id} mutual ok "
                  f"err_t={err_t:.4f} err_r={err_r:.4f}")
@@ -295,7 +346,7 @@ class LoopCloser:
         # whose "information" is measurement noise makes the trajectory
         # WORSE (measured: 62 micro-corrections turned ATE 0.07 -> 0.38
         # on the 500-frame scene)
-        if self.min_loop_error > 0:
+        if self.min_loop_error_rel > 0:
             T_meas = np.eye(4)
             T_meas[:3, :3] = np.asarray(res.R)
             T_meas[:3, 3] = np.asarray(res.t)
@@ -303,12 +354,17 @@ class LoopCloser:
             err_t = float(np.linalg.norm(D[:3, 3]))
             cos_r = (np.trace(D[:3, :3]) - 1.0) / 2.0
             err_r = float(np.arccos(np.clip(cos_r, -1.0, 1.0)))
-            if (err_t < self.min_loop_error
-                    and err_r < 2.0 * self.min_loop_error):
+            min_t = self.min_loop_error_rel * self.run_scale()
+            if err_t < min_t and err_r < self.min_loop_rot:
                 _dbg(f"q{q.kf_id}: kf{cand.kf_id} below significance "
-                     f"err_t={err_t:.4f} err_r={err_r:.4f}")
+                     f"err_t={err_t:.4f} (min {min_t:.4f}) "
+                     f"err_r={err_r:.4f}")
                 return None
 
+        # a loop fires: clear the streak so the NEXT loop needs fresh
+        # consecutive agreement of its own
+        self._prev_cand_kf = None
+        self._consist_count = 0
         # PnP gives T (cand-cam -> query-cam) == S_query * S_match^-1
         return LoopResult(
             query_kf=q.kf_id, match_kf=cand.kf_id,

@@ -85,6 +85,13 @@ def default_vocab_path() -> Optional[str]:
 # for checkpoint IO and tests
 Imm = KS.Imm
 
+# jitted-kernel cache shared across SLAMSystem instances, keyed by
+# (cfg, height, width, mesh-id): constructing a second system with the same
+# configuration (bench comparison runs, multi-system tests) binds the SAME
+# jitted callables — and their already-compiled executables — instead of
+# recompiling ~10 large graphs from scratch
+_KERNEL_CACHE: dict = {}
+
 
 def _copy_to_host_async(tree):
     """Start device->host copies of every leaf (hides the tunnel RTT behind
@@ -123,6 +130,9 @@ class SLAMSystem:
         per-keyframe ("kf") records — the structured observability layer
         the reference only had as printf (SURVEY.md §5); costs one
         json.dumps per frame, no extra device pulls."""
+        from .. import ensure_compile_cache
+        ensure_compile_cache()   # persistent compile cache iff the RESOLVED
+        # backend is an accelerator (safe here: backend is in use anyway)
         self.cfg = cfg
         self.dist_mesh = dist_mesh
         if dist_mesh is not None:
@@ -162,7 +172,7 @@ class SLAMSystem:
             self.loop_closer = LoopCloser(
                 bow_ops.load_vocabulary(vocab_path), min_gap=10,
                 dist_mesh=dist_mesh,
-                min_loop_error=0.15, consistency_th=2)
+                min_loop_error_rel=2.5, consistency_th=2)
         self.n_loops_closed = 0
         self.n_relocs = 0    # successful BoW/PnP relocalizations
         self._metrics_f = open(metrics_path, "w") if metrics_path else None
@@ -224,6 +234,9 @@ class SLAMSystem:
         self._ref_lock = threading.Lock()
         self._shell_lock = threading.Lock()
         self._map_exc: Optional[BaseException] = None
+        self._lc_exc: Optional[BaseException] = None   # loop-closure worker
+        # failures get their own slot — a concurrent mapping-thread
+        # exception must not overwrite (or be overwritten by) one
         self.n_frames_skipped = 0       # non-KF frames dropped in catch-up
         # KF-need latch (reference NeedNewKFAfter, System.h:143): the shell
         # id of the tracking reference of the newest frame that wanted a
@@ -243,7 +256,20 @@ class SLAMSystem:
         self._dev_prev = jnp.eye(4, dtype=jnp.float32)
         self._dev_prevprev = jnp.eye(4, dtype=jnp.float32)
         self._dev_aff = jnp.zeros(2, jnp.float32)
+        # dispatch-frontier timestamps: the constant-motion hypothesis is a
+        # velocity, so under input skipping it must be scaled by the
+        # timestamp gap ratio (see ops/tracker.motion_hypotheses_device)
+        self._prev_ts = 0.0
+        self._prevprev_ts = 0.0
+        self.n_track_retries = 0   # batched-winner rejections (paced-load
+                                   # observability; see bench.py)
+        # kf_latencies: time-to-fresh-template (dispatch latency — what the
+        # tracker waits on). kf_full_latencies: dispatch -> finalized bundle
+        # pull (the full mapper cost per keyframe, the r3-era metric) —
+        # report BOTH (VERDICT r4 weak #4).
         self.kf_latencies: deque = deque(maxlen=200)
+        self.kf_full_latencies: deque = deque(maxlen=200)
+        self.lc_detect_ms: deque = deque(maxlen=200)
         # loop-closure worker state (async mode): BoW/PnP/pose-graph work
         # runs off the mapping thread; corrections are handed back via
         # _pending_loop_corr and applied between keyframe steps
@@ -271,14 +297,18 @@ class SLAMSystem:
 
         self._precompile_thread = None
         if not sequential:
-            # compile every selector-ladder variant up front (in background,
-            # overlapping the main-path compiles) so a pot change mid-run
-            # never stalls a keyframe on a fresh XLA compile
+            # compile every kernel the live paths can touch up front (in
+            # background, overlapping the main-path compiles): the selector
+            # ladder AND the failure/relocalization/loop-closure chain — a
+            # mid-run XLA compile on the recovery path costs ~1s per
+            # kernel and under paced input triggers the skip->fail spiral
+            # (round-4 paced-bench collapse, VERDICT r4 weak #2/#5)
             self._precompile_thread = threading.Thread(
-                target=self._precompile_selectors, daemon=True)
+                target=self._precompile_kernels, daemon=True)
             self._precompile_thread.start()
 
-    def _precompile_selectors(self):
+    def _precompile_kernels(self):
+        cfg = self.cfg
         try:
             dummy = jnp.zeros((self.height, self.width, 3), jnp.float32)
             grads = tuple(
@@ -286,9 +316,52 @@ class SLAMSystem:
                 for l in range(3))
             for pot in self._POT_LADDER:
                 self._select_px(pot, dummy, grads,
-                                int(self.cfg.desired_immature_density), 0)
+                                int(cfg.desired_immature_density), 0)
         except Exception:
             pass   # warmup only — real calls compile lazily as before
+        # --- relocalization chain, with the EXACT live call signatures
+        # (shapes, dtypes, kwarg presence — any mismatch silently compiles
+        # a second executable at failure time)
+        try:
+            from ..ops import features as FT
+            from ..ops import pnp as pnp_ops
+            img = jnp.zeros((self.height, self.width), jnp.float32)
+            if cfg.enable_indirect:
+                _, _, _, _, cdesc, cval = self._extract_feats(img)
+                FT.match_pair_jit(cdesc, cval, cdesc, cval,
+                                  max_dist=80, ratio=0.9)
+                n_feat = int(cdesc.shape[0])
+            else:
+                from ..ops import orb as orb_ops
+                from ..ops.pyramid import gaussian_blur7
+                score = orb_ops.fast_score(img, float(cfg.min_th_fast))
+                u, v, valid = orb_ops.grid_nms(score, 8, 512)
+                ang = orb_ops.ic_angle(img, u, v)
+                desc = orb_ops.rbrief(gaussian_blur7(img), u, v, ang)
+                orb_ops.match_descriptors_jit(desc, desc, valid_a=valid,
+                                              valid_b=valid)
+                n_feat = 512
+            tcap = min(self.height * self.width, trk_ops.TEMPLATE_CAP)
+            tz = jnp.zeros(tcap, jnp.float32)
+            kz = jnp.zeros(n_feat, jnp.float32)
+            self._lift_depths(kz, kz, tz, tz, tz, jnp.ones(tcap, bool))
+            X = jnp.zeros((n_feat, 3), jnp.float32).at[:, 2].set(1.0)
+            obs = jnp.zeros((n_feat, 2), jnp.float32)
+            pnp_ops.solve_pnp_jit(
+                X, obs, jnp.ones(n_feat, bool),
+                jnp.asarray(np.eye(3, dtype=np.float32)),
+                jax.random.PRNGKey(0),
+                init_R=jnp.eye(3, dtype=jnp.float32),
+                init_t=jnp.zeros(3, jnp.float32))
+        except Exception:
+            pass
+        # --- loop-closure detect kernels (BoW quantize/score, matcher, PnP)
+        try:
+            if self.loop_closer is not None:
+                n = (cfg.max_kf_features if cfg.enable_indirect else 512)
+                self.loop_closer.warmup(n)
+        except Exception:
+            pass
 
     def wait_compiles(self, timeout: float = 1200.0):
         """Block until the background kernel precompiles finish — call after
@@ -299,15 +372,33 @@ class SLAMSystem:
 
     # ------------------------------------------------------------------ jit
     def _build_jit(self):
+        """Bind the jitted device kernels. Kernels are cached at MODULE
+        level keyed by (cfg, image shape, mesh): a second SLAMSystem with
+        the same configuration in the same process (bench comparison runs,
+        multi-system tests) reuses the SAME jitted callables — and their
+        warm executables — instead of recompiling ~10 large graphs."""
+        key = (self.cfg, self.height, self.width,
+               None if self.dist_mesh is None else id(self.dist_mesh))
+        ns = _KERNEL_CACHE.get(key)
+        if ns is None:
+            ns = _KERNEL_CACHE[key] = self._make_kernels()
+        for name, fn in ns.items():
+            setattr(self, name, fn)
+        self._K_pyr_cache = self._k_pyr(self.calib.value)
+
+    def _make_kernels(self):
         cfg = self.cfg
         n_lvl = cfg.pyr_levels
+        height, width = self.height, self.width
+        mesh = self.dist_mesh
+        ns = {}
 
         @jax.jit
         def prep(img):
             pyr, grads = build_direct_pyramid(img.astype(jnp.float32), n_lvl)
             return pyr, grads
 
-        self._prep = prep
+        ns["_prep"] = prep
 
         @jax.jit
         def prep_calibrated(raw, inv_resp, inv_vig, grad_w):
@@ -317,12 +408,13 @@ class SLAMSystem:
             img = photometric_correct(raw, inv_resp, inv_vig)
             return build_direct_pyramid(img, n_lvl, gamma_grad_weight=grad_w)
 
-        self._prep_calibrated = prep_calibrated
+        ns["_prep_calibrated"] = prep_calibrated
 
         @jax.jit
         def pc_sample(u, v, idepth, valid, K4, R_rel, t_rel, raws):
             """Sample RAW intensities of the template points warped into
             each ring frame: returns obs (P, F), r2 (P, F), mask (P, F)."""
+            raws = raws.astype(jnp.float32)   # ring frames may be uint8
             fx, fy, cx, cy = K4[0], K4[1], K4[2], K4[3]
             Hh, Ww = raws.shape[1], raws.shape[2]
             px = (u - cx) / fx
@@ -342,7 +434,7 @@ class SLAMSystem:
             mask = inb & valid[None, :] & jnp.isfinite(obs)
             return obs.T, r2.T, mask.T
 
-        self._pc_sample = pc_sample
+        ns["_pc_sample"] = pc_sample
 
         @partial(jax.jit, static_argnames=("known",))
         def pc_fit(obs, r2, mask, exp, known):
@@ -359,25 +451,25 @@ class SLAMSystem:
             lut = PC.gamma_lut(params)
             inv_resp = invert_response(lut)
             grad_w = response_grad_weight(lut)
-            inv_vig = 1.0 / PC.vignette_map(params, self.height, self.width)
+            inv_vig = 1.0 / PC.vignette_map(params, height, width)
             return params, rms, inv_resp, grad_w, inv_vig
 
-        self._pc_fit = pc_fit
+        ns["_pc_fit"] = pc_fit
 
         from ..ops.undistort import photometric_correct
-        self._correct_img = jax.jit(photometric_correct)
-        self._track = jax.jit(
+        ns["_correct_img"] = jax.jit(photometric_correct)
+        ns["_track"] = jax.jit(
             partial(trk_ops.track_coarse, cfg=cfg, coarsest_lvl=n_lvl - 1)
         )
-        self._track_multi = jax.jit(
+        ns["_track_multi"] = jax.jit(
             partial(trk_ops.track_coarse_multi, cfg=cfg, coarsest_lvl=n_lvl - 1)
         )
-        self._track_step = jax.jit(
+        ns["_track_step"] = jax.jit(
             partial(trk_ops.track_step, cfg=cfg, n_levels=n_lvl)
         )
 
         def track_step_cal(template, raw, inv_resp, inv_vig, grad_w,
-                           calib_value, *rest):
+                           calib_value, *rest, dt_ratio=None):
             """Online-calib variant of the fused tracking step: photometric
             correction + gamma gradient-reweighting fused into the same
             dispatch, so the pipelined path matches the sequential path's
@@ -388,35 +480,36 @@ class SLAMSystem:
                                       inv_vig)
             return trk_ops.track_step(template, img, calib_value, *rest,
                                       cfg=cfg, n_levels=n_lvl,
-                                      gamma_grad_weight=grad_w)
+                                      gamma_grad_weight=grad_w,
+                                      dt_ratio=dt_ratio)
 
-        self._track_step_cal = jax.jit(track_step_cal)
+        ns["_track_step_cal"] = jax.jit(track_step_cal)
         # n_iterations is a traced scalar (the GN while_loop bound) so the
         # init-time 20/15-iteration windows share ONE compilation with the
         # steady-state 6-iteration one
-        self._ba = jax.jit(lambda wnd, calib, n: ba_optimize(wnd, calib, cfg, n))
+        ns["_ba"] = jax.jit(
+            lambda wnd, calib, n: ba_optimize(wnd, calib, cfg, n))
         # the whole AddKeyframe pipeline as one dispatch + one bundle pull
-        self._kf_step = jax.jit(
-            partial(KS.kf_step, cfg=cfg, mesh=self.dist_mesh))
+        ns["_kf_step"] = jax.jit(partial(KS.kf_step, cfg=cfg, mesh=mesh))
 
         def trace_step(imm, frames, calib_value, R_new, t_new, aff, exp, tgt):
             tr = KS.trace_candidates(imm, frames, calib_value, R_new, t_new,
                                      aff, exp, tgt, cfg)
             return imm._replace(trace=tr)
 
-        self._trace_step = jax.jit(trace_step)
+        ns["_trace_step"] = jax.jit(trace_step)
 
         from ..ops import features as FT
-        self._extract_feats = jax.jit(
+        ns["_extract_feats"] = jax.jit(
             lambda img: FT.extract_multiscale(
                 img, cfg.ind_pyr_levels, cfg.max_kf_features,
                 float(cfg.min_th_fast), scale=cfg.ind_pyr_scale,
                 do_subpix=cfg.do_subpix))
         from ..ops import init_refine as ir_ops
-        self._init_refine = jax.jit(partial(ir_ops.direct_refine, cfg=cfg))
-        self._k_pyr = jax.jit(partial(k_pyr_from_value, n_levels=n_lvl))
-        self._K_pyr_cache = self._k_pyr(self.calib.value)
-        self._select = {}   # per-pot compiled selector
+        ns["_init_refine"] = jax.jit(partial(ir_ops.direct_refine, cfg=cfg))
+        ns["_k_pyr"] = jax.jit(partial(k_pyr_from_value, n_levels=n_lvl))
+        ns["_select"] = {}   # per-pot compiled selector (shared so a pot
+                             # warmed by one system is warm for all)
 
         @jax.jit
         def sample_pattern(img, u, v):
@@ -438,7 +531,7 @@ class SLAMSystem:
             finite = jnp.all(jnp.isfinite(col), axis=-1)
             return col, wgt, gH, finite
 
-        self._sample_pattern = sample_pattern
+        ns["_sample_pattern"] = sample_pattern
 
         @jax.jit
         def map_cloud(frames, points, calib_value):
@@ -464,12 +557,13 @@ class SLAMSystem:
                   & (id_var <= 1e-2 * z * z * z * z))
             return xyz, ok, points.color[:, 4]
 
-        self._map_cloud = map_cloud
+        ns["_map_cloud"] = map_cloud
 
         # device keypoint depth lift (shared with kf_step's in-dispatch
         # version, ops/tracker.nearest_template_depth) — used by the
         # relocalization and non-indirect loop-closure paths
-        self._lift_depths = jax.jit(trk_ops.nearest_template_depth)
+        ns["_lift_depths"] = jax.jit(trk_ops.nearest_template_depth)
+        return ns
 
     def _select_px(self, pot, dir_img, grads, want, seed):
         """Candidate pixel source. Default: the PixelSelector gradient
@@ -629,6 +723,18 @@ class SLAMSystem:
         with self._shell_lock:
             ref_c2w = self.shells[self.ref_shell_id].cam_to_world.copy()
         shell.tracking_ref = self.ref_shell_id
+        # timestamp-gap ratio for the constant-motion hypotheses: under the
+        # realtime input-skip policy (Main.cpp:91-106) consecutive PROCESSED
+        # frames can be many camera periods apart — the velocity model must
+        # scale with the gap or the true pose falls outside the hypothesis
+        # set and every post-skip frame takes the failure path
+        dt_prev = self._prev_ts - self._prevprev_ts
+        dt_new = timestamp - self._prev_ts
+        if self._frontier_frames >= 2 and dt_prev > 1e-9 and dt_new > 0:
+            dt_ratio = float(np.clip(dt_new / dt_prev, 0.1, 32.0))
+        else:
+            dt_ratio = 1.0
+        dt_ratio = jnp.float32(dt_ratio)
         # frames cross the tunnel in their native dtype (uint8 preferred:
         # 4x less host->device bandwidth); conversion happens on device
         raw = jnp.asarray(image)
@@ -645,6 +751,7 @@ class SLAMSystem:
                 self._dev_aff,
                 jnp.float32(self.ref_exposure), jnp.float32(shell.exposure),
                 jnp.asarray(self.ref_aff, jnp.float32),
+                dt_ratio=dt_ratio,
             )
         else:
             out = self._track_step(
@@ -655,6 +762,7 @@ class SLAMSystem:
                 self._dev_aff,
                 jnp.float32(self.ref_exposure), jnp.float32(shell.exposure),
                 jnp.asarray(self.ref_aff, jnp.float32),
+                dt_ratio=dt_ratio,
             )
         # start the device->host copy of the small result NOW so the pull in
         # _complete_tracked (pipeline_lag frames later) finds it staged
@@ -664,6 +772,8 @@ class SLAMSystem:
         self._dev_prevprev = self._dev_prev
         self._dev_prev = out.c2w
         self._dev_aff = out.aff
+        self._prevprev_ts = self._prev_ts
+        self._prev_ts = timestamp
         self._frontier_frames += 1
 
         if len(self._pipe) > self.pipeline_lag:
@@ -735,19 +845,38 @@ class SLAMSystem:
         else:
             # rare: batched winner rejected — retry with a RESET motion
             # frontier (zero-motion hypotheses from the reference keyframe)
-            # through the SAME compiled track_step kernel; compiling a
-            # separate serial-tracker kernel mid-run would stall the
-            # pipeline for a full XLA compile
+            # through the SAME WARM track_step executable. Critical: feed
+            # the staged uint8 `raw` (the dtype the warm executable was
+            # traced on), NOT a float32 slice of the pyramid — a dtype
+            # change would silently jit a SECOND full fused-tracker
+            # executable on the latency-critical recovery path (round-4
+            # paced-bench collapse, VERDICT r4 weak #2)
+            self.n_track_retries += 1
             with self._shell_lock:
                 ref_c2w = self.shells[self.ref_shell_id].cam_to_world.copy()
             ref_dev = jnp.asarray(ref_c2w, jnp.float32)
-            out2 = self._track_step(
-                self.template, out.pyr[0][..., 0], self.calib.value,
-                ref_dev, ref_dev, ref_dev, jnp.bool_(False),
-                jnp.asarray(self.ref_aff, jnp.float32),
-                jnp.float32(self.ref_exposure), jnp.float32(shell.exposure),
-                jnp.asarray(self.ref_aff, jnp.float32),
-            )
+            retry_img = raw if raw is not None else out.pyr[0][..., 0]
+            if self.online_photo_calib and self._inv_response is not None:
+                out2 = self._track_step_cal(
+                    self.template, retry_img, self._inv_response,
+                    self._inv_vignette, self._grad_weight, self.calib.value,
+                    ref_dev, ref_dev, ref_dev, jnp.bool_(False),
+                    jnp.asarray(self.ref_aff, jnp.float32),
+                    jnp.float32(self.ref_exposure),
+                    jnp.float32(shell.exposure),
+                    jnp.asarray(self.ref_aff, jnp.float32),
+                    dt_ratio=jnp.float32(1.0),
+                )
+            else:
+                out2 = self._track_step(
+                    self.template, retry_img, self.calib.value,
+                    ref_dev, ref_dev, ref_dev, jnp.bool_(False),
+                    jnp.asarray(self.ref_aff, jnp.float32),
+                    jnp.float32(self.ref_exposure),
+                    jnp.float32(shell.exposure),
+                    jnp.asarray(self.ref_aff, jnp.float32),
+                    dt_ratio=jnp.float32(1.0),
+                )
             R2, t2, aff2, ok2, res2, flow2 = jax.device_get(
                 (out2.R, out2.t, out2.aff, out2.ok, out2.residuals,
                  out2.flow))
@@ -937,6 +1066,11 @@ class SLAMSystem:
             self._apply_pending_loop_corr()
         if self._map_exc is not None:
             exc, self._map_exc = self._map_exc, None
+            if self._lc_exc is not None:   # both failed: chain them
+                exc.__context__, self._lc_exc = self._lc_exc, None
+            raise exc
+        if self._lc_exc is not None:
+            exc, self._lc_exc = self._lc_exc, None
             raise exc
 
     def close(self):
@@ -1222,6 +1356,20 @@ class SLAMSystem:
             else:
                 T_sp = (np.linalg.inv(sprelast.cam_to_world)
                         @ slast.cam_to_world)
+                # scale the constant-motion twist by the timestamp-gap
+                # ratio: under input skipping the velocity model must
+                # cover the true (multi-period) motion (see
+                # ops/tracker.motion_hypotheses_device)
+                dt_prev = slast.timestamp - sprelast.timestamp
+                dt_new = self.shells[anchor].timestamp - slast.timestamp
+                if dt_prev > 1e-9 and dt_new > 0:
+                    r = float(np.clip(dt_new / dt_prev, 0.1, 32.0))
+                    if abs(r - 1.0) > 1e-6:
+                        xi_sp = np.asarray(lie.se3_log(
+                            jnp.asarray(T_sp[:3, :3]),
+                            jnp.asarray(T_sp[:3, 3])))
+                        T_sp = _se3_np(*[np.asarray(x) for x in
+                                         lie.se3_exp(jnp.asarray(r * xi_sp))])
             T_ls = np.linalg.inv(slast.cam_to_world) @ ref_shell.cam_to_world
             fh2slast = T_sp  # constant motion assumption
             inv = np.linalg.inv
@@ -1412,8 +1560,8 @@ class SLAMSystem:
             kval = self.feats.valid[self.ref_slot]
             kdesc = self.feats.desc[self.ref_slot]
             cu, cv, _, _, cdesc, cval = self._extract_feats(cur_img)
-            idx, ok = ft.match_pair(kdesc, kval, cdesc, cval,
-                                    max_dist=80, ratio=0.9)
+            idx, ok = ft.match_pair_jit(kdesc, kval, cdesc, cval,
+                                        max_dist=80, ratio=0.9)
         else:
             from ..ops import orb as orb_ops
             from ..ops.pyramid import gaussian_blur7
@@ -1430,8 +1578,9 @@ class SLAMSystem:
 
             ku, kv, kval, kdesc = feats(jnp.asarray(ref_img))
             cu, cv, cval, cdesc = feats(cur_img)
-            idx, ok = orb_ops.match_descriptors(kdesc, cdesc,
-                                                valid_a=kval, valid_b=cval)
+            idx, ok = orb_ops.match_descriptors_jit(kdesc, cdesc,
+                                                    valid_a=kval,
+                                                    valid_b=cval)
         if int(np.asarray(ok).sum()) < 15:
             return None
 
@@ -1465,7 +1614,7 @@ class SLAMSystem:
         # seed with the last tracked pose prediction (zero motion from the
         # reference) — the DLT samples alone degenerate on planar scenes
         T_pred = np.linalg.inv(T_ref)
-        res = pnp_ops.solve_pnp(
+        res = pnp_ops.solve_pnp_jit(
             jnp.asarray(X_w, jnp.float32), jnp.asarray(obs, jnp.float32),
             jnp.asarray(valid), jnp.asarray(K),
             jax.random.PRNGKey(shell.id),
@@ -1506,7 +1655,18 @@ class SLAMSystem:
     # ------------------------------------------------------------- non-KF
     def _process_non_kf(self, shell: Shell, pyr):
         """ProcessNonKeyframe (System.cpp:231-247): epipolar-trace all
-        candidates against this frame — ONE fused dispatch, zero pulls."""
+        candidates against this frame — ONE fused dispatch, zero pulls.
+
+        The pose is RECOMPUTED from the tracking reference at mapping time
+        under the shell lock (System.cpp:234-238): windowed BA may have
+        refined the reference keyframe's pose since this frame was tracked,
+        and tracing with the stale tracking-time pose would misplace the
+        epipolar search lines by the BA update."""
+        with self._shell_lock:
+            if shell.tracking_ref is not None:
+                shell.cam_to_world = (
+                    self.shells[shell.tracking_ref].cam_to_world
+                    @ shell.cam_to_ref)
         Tw = np.linalg.inv(shell.cam_to_world)
         self.imm = self._trace_step(
             self.imm, self.window.frames, self.calib.value,
@@ -1677,6 +1837,7 @@ class SLAMSystem:
         self._m_nimm_host = np.asarray(b.n_imm_host, np.int64)
         self._m_n_active = int(b.n_active)
         self.ind_obs_history.append(int(b.n_ind))
+        self.kf_full_latencies.append(_time.perf_counter() - _t0)
         self._emit_metrics(
             t="kf", id=shell.id, kf_id=shell.kf_id,
             ba_rmse=float(b.rmse), n_active=int(b.n_active),
@@ -1826,7 +1987,7 @@ class SLAMSystem:
                                                doc_ids=doc_ids)
                 self.loop_closer = LoopCloser(voc, min_gap=10,
                                               dist_mesh=self.dist_mesh,
-                                              min_loop_error=0.15,
+                                              min_loop_error_rel=2.5,
                                               consistency_th=2)
                 # backfill the keyframes that fed the vocabulary — without
                 # them the revisit has nothing to match against
@@ -1846,9 +2007,11 @@ class SLAMSystem:
             [[float(self.calib.value[0]), 0, float(self.calib.value[2])],
              [0, float(self.calib.value[1]), float(self.calib.value[3])],
              [0, 0, 1.0]])
+        _t_lc = _time.perf_counter()
         loop = self.loop_closer.detect(
             len(self.loop_closer.entries) - 1, K, exclude_kfs=exclude_kfs,
         )
+        self.lc_detect_ms.append(1e3 * (_time.perf_counter() - _t_lc))
         if loop is None:
             return None
         corrections = self.loop_closer.correct(loop, fix_scale=False)
@@ -1878,8 +2041,8 @@ class SLAMSystem:
                         # relaxation already includes its effect (entry
                         # poses were updated by correct())
                         self._pending_loop_corr = corr
-            except BaseException as e:   # surfaced on the tracking thread
-                self._map_exc = e
+            except BaseException as e:   # surfaced at the finish barrier
+                self._lc_exc = e
             finally:
                 with self._lc_cond:
                     self._lc_busy = False

@@ -310,3 +310,10 @@ def match_pair(desc_a, valid_a, desc_b, valid_b,
     mutual = back[best] == jnp.arange(D.shape[0])
     ok = (d1 <= max_dist) & (d1 <= ratio * d2) & mutual & valid_a
     return best, ok
+
+
+# shared jitted entry: the relocalization path calls this on its FIRST
+# tracking failure — a lazily-compiled matcher there would stall the
+# latency-critical recovery path for a full compile (warmed up front by
+# SLAMSystem's background precompile thread)
+match_pair_jit = jax.jit(match_pair)

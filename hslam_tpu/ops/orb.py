@@ -202,3 +202,9 @@ def match_descriptors(da: jnp.ndarray, db: jnp.ndarray,
     if valid_a is not None:
         ok = ok & valid_a
     return best, ok
+
+
+# shared jitted entry for the loop-closure / relocalization paths (warmed
+# by SLAMSystem's background precompile thread so the first failure or
+# loop candidate never pays a compile)
+match_descriptors_jit = jax.jit(match_descriptors)

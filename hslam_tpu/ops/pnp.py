@@ -139,3 +139,10 @@ def solve_pnp(
     inliers = (err_f < inlier_px) & valid
     ok = jnp.sum(inliers) >= min_inliers
     return PnPResult(ok=ok, R=R, t=t, inliers=inliers)
+
+
+# shared jitted entry (one executable per point-set shape): relocalization
+# and loop closure both solve PnP on fixed-capacity keypoint sets, and the
+# first call happens on a latency-critical path (tracking failure / loop
+# candidate) — warmed by SLAMSystem's background precompile thread.
+solve_pnp_jit = jax.jit(solve_pnp, static_argnames=("n_iters",))

@@ -618,20 +618,32 @@ def motion_hypotheses_device(
     prevprev_c2w: jnp.ndarray,   # (4,4)
     have_motion: jnp.ndarray,    # () bool — prev/prevprev valid
     rot: float = 0.02,
+    dt_ratio: jnp.ndarray | None = None,   # () dt_new / dt_prev
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The reference's 31-entry motion-hypothesis list (System.cpp:347-405)
     built entirely on device from the last two camera poses, so the
     pipelined tracker needs NO host round-trip between frames.
-    Returns refToNew hypotheses as (32, 3, 3), (32, 3) (identity-padded)."""
+
+    `dt_ratio` scales the constant-motion twist by the timestamp gap:
+    when the driver skips input frames (realtime policy, Main.cpp:91-106)
+    the motion between consecutive PROCESSED frames is dt_ratio x the
+    per-frame motion — the reference never needed this because it never
+    skips many frames at once, but an unscaled hypothesis set under heavy
+    skipping rejects the true pose and triggers the failure path on every
+    frame. Returns refToNew hypotheses as (32, 3, 3), (32, 3)
+    (identity-padded)."""
     fh2slast = _rigid_inv(prevprev_c2w) @ prev_c2w
     T_ls = _rigid_inv(prev_c2w) @ ref_c2w
-    inv_f = _rigid_inv(fh2slast)
+    r = jnp.float32(1.0) if dt_ratio is None else dt_ratio
 
     xi = lie.se3_log(fh2slast[:3, :3], fh2slast[:3, 3])
-    Rh, th = lie.se3_exp(0.5 * xi)
-    half = jnp.eye(4).at[:3, :3].set(Rh).at[:3, 3].set(th)
 
-    base = inv_f @ T_ls
+    def fwd(f):
+        """exp(f * xi) as a 4x4 (f<0 gives the inverse — same twist)."""
+        Rf, tf = lie.se3_exp(f * xi)
+        return jnp.eye(4).at[:3, :3].set(Rf).at[:3, 3].set(tf)
+
+    base = fwd(-r) @ T_ls           # constant motion over dt_new
     quats = jnp.concatenate(
         [jnp.ones((26, 1), jnp.float32), rot * _ROT_AXES], axis=1)
     quats = quats / jnp.linalg.norm(quats, axis=1, keepdims=True)
@@ -643,8 +655,8 @@ def motion_hypotheses_device(
 
     head = jnp.stack([
         base,                       # constant motion
-        inv_f @ inv_f @ T_ls,       # double motion
-        _rigid_inv(half) @ T_ls,    # half motion
+        fwd(-2.0 * r) @ T_ls,       # double motion
+        fwd(-0.5 * r) @ T_ls,       # half motion
         T_ls,                       # zero motion from last
         jnp.eye(4),                 # zero motion from ref
         base,                       # pad to 32
@@ -682,6 +694,7 @@ def track_step(
     cfg: Config,
     n_levels: int,
     gamma_grad_weight: jnp.ndarray | None = None,
+    dt_ratio: jnp.ndarray | None = None,
 ) -> TrackStepOut:
     """One fully-fused per-frame tracking step: pyramid build + device-side
     motion hypotheses + batched coarsest-level scoring + coarse-to-fine LM,
@@ -705,7 +718,7 @@ def track_step(
     pyr, grads = build_direct_pyramid(img.astype(jnp.float32), n_levels,
                                       gamma_grad_weight=gamma_grad_weight)
     R_b, t_b = motion_hypotheses_device(
-        ref_c2w, prev_c2w, prevprev_c2w, have_motion)
+        ref_c2w, prev_c2w, prevprev_c2w, have_motion, dt_ratio=dt_ratio)
     res, _ = track_coarse_multi(
         template, pyr, K_pyr, R_b, t_b, aff0,
         exp_ref, exp_new, aff_ref, cfg, coarsest_lvl=n_levels - 1,

@@ -89,7 +89,8 @@ def main():
     ms, tout = timed(lambda: slam._track_step(
         slam.template, img, slam.calib.value, ref_c2w,
         ref_c2w, ref_c2w, jnp.bool_(False), jnp.zeros(2),
-        jnp.float32(1.0), jnp.float32(1.0), jnp.zeros(2)), args.reps)
+        jnp.float32(1.0), jnp.float32(1.0), jnp.zeros(2),
+        dt_ratio=jnp.float32(1.0)), args.reps)
     rows.append(("track_step (fused frame tracking)", ms))
 
     ms, _ = timed(lambda: slam._select_px(
@@ -147,7 +148,8 @@ def main():
                 out = slam._track_step(
                     slam.template, img, slam.calib.value, ref_c2w,
                     ref_c2w, ref_c2w, jnp.bool_(False), jnp.zeros(2),
-                    jnp.float32(1.0), jnp.float32(1.0), jnp.zeros(2))
+                    jnp.float32(1.0), jnp.float32(1.0), jnp.zeros(2),
+                    dt_ratio=jnp.float32(1.0))
                 jax.block_until_ready(out)
                 ba = slam._ba(slam.window, slam.calib, jnp.int32(6))
                 jax.block_until_ready(ba)

@@ -60,5 +60,7 @@ def test_500_frame_drift_bounded():
     assert len(slam.loop_closer.entries) > 50
     err = ate_rmse(np.array([g[:3, 3] for g in gt_all]),
                    np.array([e[:3, 3] for e in est_all]))
-    # calibrated: 0.155 on a clean run (depth 2.0); FEJ drift bugs explode it
-    assert np.isfinite(err) and err < 0.30, f"long-run drift ATE {err}"
+    # calibrated: 0.155 on a clean run (depth 2.0); gate at 1.3x calibrated
+    # (VERDICT r4 weak #8: a 2x gate hides sub-2x regressions) — FEJ drift
+    # bugs blow far past either bound
+    assert np.isfinite(err) and err < 0.20, f"long-run drift ATE {err}"

@@ -266,3 +266,45 @@ class TestEpipolar:
         id_true = 1.0 / depth
         frac_bracket = np.mean((lo <= id_true + 0.05) & (hi >= id_true - 0.05))
         assert frac_bracket > 0.8, f"bracket rate {frac_bracket}"
+
+
+class TestMotionHypothesesDtRatio:
+    def test_dt_ratio_scales_constant_motion(self):
+        """dt_ratio=2 must make the constant-motion hypothesis equal the
+        dt_ratio=1 DOUBLE-motion hypothesis (same twist applied twice) —
+        the input-skip velocity scaling of motion_hypotheses_device."""
+        import jax.numpy as jnp
+        from hslam_tpu.ops import tracker as trk
+        from hslam_tpu.utils import lie
+
+        xi_step = jnp.array([0.03, -0.02, 0.05, 0.01, -0.015, 0.02])
+        R1, t1 = lie.se3_exp(xi_step)
+        prevprev = np.eye(4)
+        prev = np.eye(4)
+        prev[:3, :3], prev[:3, 3] = np.asarray(R1), np.asarray(t1)
+        Rr, tr = lie.se3_exp(jnp.array([0.1, 0.2, -0.1, 0.04, 0.0, -0.02]))
+        ref = np.eye(4)
+        ref[:3, :3], ref[:3, 3] = np.asarray(Rr), np.asarray(tr)
+
+        args = (jnp.asarray(ref, jnp.float32), jnp.asarray(prev, jnp.float32),
+                jnp.asarray(prevprev, jnp.float32), jnp.bool_(True))
+        R_a, t_a = trk.motion_hypotheses_device(*args,
+                                                dt_ratio=jnp.float32(2.0))
+        R_b, t_b = trk.motion_hypotheses_device(*args,
+                                                dt_ratio=jnp.float32(1.0))
+        # hyp 0 = constant motion, hyp 1 = double motion
+        np.testing.assert_allclose(np.asarray(R_a[0]), np.asarray(R_b[1]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t_a[0]), np.asarray(t_b[1]),
+                                   atol=1e-5)
+        # ratio 1 must reproduce the unscaled behavior exactly
+        R_c, t_c = trk.motion_hypotheses_device(*args)
+        np.testing.assert_allclose(np.asarray(R_b), np.asarray(R_c),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_c),
+                                   atol=1e-6)
+        # zero-motion-from-last / from-ref hypotheses are ratio-independent
+        np.testing.assert_allclose(np.asarray(R_a[3]), np.asarray(R_b[3]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(R_a[4]), np.asarray(R_b[4]),
+                                   atol=1e-6)
