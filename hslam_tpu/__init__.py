@@ -92,7 +92,10 @@ def ensure_compile_cache():
         cache_dir = _default_cache_dir(backend)
     try:
         _jax.config.update("jax_compilation_cache_dir", cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache even sub-second compiles: on a remote-compile backend each
+        # tiny op costs a ~0.35s round trip, and a cold warmup dispatches
+        # hundreds of them — the default 1s floor would skip them all
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 
@@ -108,7 +111,7 @@ if _cache_dir != "0" and (_cache_dir or _backend in ("axon", "tpu", "gpu",
         _jax.config.update(
             "jax_compilation_cache_dir",
             _cache_dir or _default_cache_dir(_backend))
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 elif _backend == "cpu":

@@ -74,6 +74,11 @@ class Config:
     # FeatureDetector + keypoint-hosted candidates) ----
     enable_indirect: bool = True
     max_kf_features: int = 512      # keypoint capacity per keyframe
+    # schedule the indirect weight by tracking health: scale up (<=3x) as
+    # the coarse tracker degrades against its per-reference baseline —
+    # geometric terms carry more when the photometric model is stressed
+    # (flicker, low texture); exactly 1x in the steady state
+    indirect_weight_schedule: bool = True
     indirect_weight: float = 30.0   # info weight of a 1-px^2 residual at
                                     # octave 0, in photometric-energy units
     indirect_huber_px: float = 2.45  # ~sqrt(5.99) * sigma, ORB-SLAM chi2

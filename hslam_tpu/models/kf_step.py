@@ -403,13 +403,21 @@ def indirect_associate(
     feats,                         # features.Feats — per-slot keypoint store
     slot: jnp.ndarray,             # () int32 — the newly inserted KF slot
     cfg: Config,
+    ind_w_scale: jnp.ndarray | None = None,   # () tracking-health schedule
 ) -> W.Window:
     """Hybrid indirect matching: match every window keyframe's keypoints
     against the new keyframe's, and give each keypoint-hosted active point
     its detected location in the new frame as a reprojection observation
     (enters the window BA through Linearization.ind_*; the capability the
     reference declares with its per-frame descriptor layer,
-    Src/Detector.cpp:70-131 + Include/MapPoint.h)."""
+    Src/Detector.cpp:70-131 + Include/MapPoint.h).
+
+    `ind_w_scale` schedules the indirect information weight by tracking
+    health: when the photometric tracker degrades against its own
+    per-reference baseline (appearance stress — exposure flicker, low
+    texture), the geometric reprojection terms take more of the load; in
+    the steady state the scale is 1 and nothing changes. Traced scalar —
+    no recompile across values."""
     from ..ops import features as ft
 
     pts = window.points
@@ -438,6 +446,8 @@ def indirect_associate(
     )
     lvl = feats.level[slot, j].astype(jnp.float32)
     w = cfg.indirect_weight / (cfg.ind_pyr_scale ** (2.0 * lvl))
+    if ind_w_scale is not None:
+        w = w * ind_w_scale
     pts = pts._replace(
         ind_u=pts.ind_u.at[:, slot].set(feats.u[slot, j]),
         ind_v=pts.ind_v.at[:, slot].set(feats.v[slot, j]),
@@ -472,6 +482,7 @@ def kf_step(
     sel_valid: jnp.ndarray,
     cfg: Config,
     mesh=None,
+    ind_w_scale: jnp.ndarray | None = None,  # () indirect-weight schedule
 ):
     """One whole keyframe insertion on device (AddKeyframe,
     Mapping.cpp:12-142). See module docstring for the stage list.
@@ -540,7 +551,8 @@ def kf_step(
     # 4b. indirect association: matched-keypoint reprojection observations
     # of keypoint-hosted points in the new frame (hybrid layer)
     if cfg.enable_indirect:
-        window = indirect_associate(window, feats, slot, cfg)
+        window = indirect_associate(window, feats, slot, cfg,
+                                    ind_w_scale=ind_w_scale)
 
     # 5. optimize (point-sharded over the mesh when given)
     if mesh is None:

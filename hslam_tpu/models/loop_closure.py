@@ -108,7 +108,11 @@ class LoopCloser:
         # graphs up to this many nodes relax with the dense GN solver;
         # larger ones use matrix-free PCG (sharded when a mesh is set)
         self.dense_max_nodes = 512
-        self._quantize = jax.jit(lambda d, v: bow_ops.quantize(self.vocab, d, v))
+        # quantize + tf-idf vector in ONE jitted dispatch (un-jitted,
+        # bow_vector alone is ~5 remote-dispatched ops per keyframe)
+        self._quantize = jax.jit(lambda d, v: bow_ops.bow_vector(
+            bow_ops.quantize(self.vocab, d, v), self.vocab.n_words,
+            idf=self.vocab.idf))
 
     def run_scale(self) -> float:
         """Median consecutive-entry camera baseline — the per-run unit that
@@ -130,10 +134,7 @@ class LoopCloser:
         background precompile thread."""
         desc = jnp.zeros((n_feat, 8), jnp.uint32)
         valid = jnp.ones(n_feat, bool)
-        words = self._quantize(desc, valid)
-        vec = bow_ops.bow_vector(words, self.vocab.n_words,
-                                 idf=self.vocab.idf)
-        q = np.asarray(vec)
+        q = np.asarray(self._quantize(desc, valid))
         for rows in (8, 16):
             self._score_padded(q, [q] * rows)
         orb_ops.match_descriptors_jit(desc, desc, valid_a=valid,
@@ -161,15 +162,13 @@ class LoopCloser:
         db = np.zeros((Mb, len(q_bow)), np.float32)
         db[:M] = np.stack(vecs)
         return np.asarray(
-            bow_ops.l1_score(jnp.asarray(q_bow), jnp.asarray(db)))[:M]
+            bow_ops.l1_score_jit(jnp.asarray(q_bow), jnp.asarray(db)))[:M]
 
     def add_keyframe(self, kf_id: int, shell_id: int,
                      desc: jnp.ndarray, kp_u, kp_v, valid,
                      cam_to_world: np.ndarray,
                      kp_idepth=None, kp_depth_ok=None):
-        words = self._quantize(desc, valid)
-        vec = bow_ops.bow_vector(words, self.vocab.n_words,
-                                 idf=self.vocab.idf)
+        vec = self._quantize(desc, valid)
         self.entries.append(KeyframeEntry(
             kf_id=kf_id, shell_id=shell_id,
             bow=np.asarray(vec), desc=np.asarray(desc),

@@ -153,6 +153,7 @@ class SLAMSystem:
         # device with zero host syncs.
         self.online_photo_calib = online_photo_calib
         self.photo_calib_every = photo_calib_every
+        self._pc_blend = 0.3      # refit blend rate (see _photo_calib_step)
         self._pc_ring: deque = deque(maxlen=photo_calib_every)
         self._pc_params = None           # device PhotoParams after first fit
         self._pc_rms = None              # device scalar, pulled lazily
@@ -172,7 +173,7 @@ class SLAMSystem:
             self.loop_closer = LoopCloser(
                 bow_ops.load_vocabulary(vocab_path), min_gap=10,
                 dist_mesh=dist_mesh,
-                min_loop_error_rel=2.5, consistency_th=2)
+                min_loop_error_rel=1.0, consistency_th=2)
         self.n_loops_closed = 0
         self.n_relocs = 0    # successful BoW/PnP relocalizations
         self._metrics_f = open(metrics_path, "w") if metrics_path else None
@@ -296,6 +297,7 @@ class SLAMSystem:
         self._build_jit()
 
         self._precompile_thread = None
+        self._precompile_stop = False
         if not sequential:
             # compile every kernel the live paths can touch up front (in
             # background, overlapping the main-path compiles): the selector
@@ -315,10 +317,28 @@ class SLAMSystem:
                 jnp.zeros((self.height >> l, self.width >> l), jnp.float32)
                 for l in range(3))
             for pot in self._POT_LADDER:
+                if self._precompile_stop:
+                    return
                 self._select_px(pot, dummy, grads,
                                 int(cfg.desired_immature_density), 0)
         except Exception:
             pass   # warmup only — real calls compile lazily as before
+        if self._precompile_stop:
+            return
+        # --- main-path kernels, in the order the live init consumes them:
+        # on a warm-cache machine the cost is pure executable LOADING over
+        # the device link (~90 MB of serialized executables), and touching
+        # them here overlaps that load with rendering / host-side setup
+        # instead of serializing it into the first frames. Concurrent
+        # first-calls on the same jit object are safe — the main thread
+        # just finds the executable ready (or waits on the same lock it
+        # would have paid anyway).
+        try:
+            self._precompile_main_path()
+        except Exception:
+            pass
+        if self._precompile_stop:
+            return
         # --- relocalization chain, with the EXACT live call signatures
         # (shapes, dtypes, kwarg presence — any mismatch silently compiles
         # a second executable at failure time)
@@ -356,12 +376,84 @@ class SLAMSystem:
         except Exception:
             pass
         # --- loop-closure detect kernels (BoW quantize/score, matcher, PnP)
+        if self._precompile_stop:
+            return
         try:
             if self.loop_closer is not None:
                 n = (cfg.max_kf_features if cfg.enable_indirect else 512)
                 self.loop_closer.warmup(n)
         except Exception:
             pass
+
+    def _precompile_main_path(self):
+        """Touch every main-path kernel on dummy (all-invalid / zero)
+        inputs — compiles on a cold machine, executable loads on a warm
+        one. Pure functions on masked state: garbage in, discarded out."""
+        cfg = self.cfg
+        F = cfg.max_frames
+        stop = lambda: self._precompile_stop  # noqa: E731
+        eye4 = jnp.eye(4, dtype=jnp.float32)
+        z2 = jnp.zeros(2, jnp.float32)
+        one = jnp.float32(1.0)
+
+        img = jnp.zeros((self.height, self.width), jnp.float32)
+        pyr, grads3 = self._prep(img)
+        if stop():
+            return
+        nf = cfg.max_features
+        zf = jnp.zeros(nf, jnp.float32)
+        vf = jnp.zeros(nf, bool)
+        self._klt_flow(tuple(p[..., 0] for p in pyr),
+                       tuple(p[..., 0] for p in pyr), zf, zf, vf)
+        if stop():
+            return
+        K3 = jnp.asarray(np.eye(3, dtype=np.float32))
+        self._two_view(jnp.zeros((nf, 2)), jnp.zeros((nf, 2)), vf, K3,
+                       jax.random.PRNGKey(0))
+        if stop():
+            return
+        if cfg.init_direct_refine:
+            self._init_refine(pyr[0], pyr[0], zf, zf, vf,
+                              jnp.ones(nf, jnp.float32), vf,
+                              jnp.eye(3, dtype=jnp.float32),
+                              jnp.zeros(3, jnp.float32), self.calib.value)
+        if stop():
+            return
+        wnd0 = W.empty_window(cfg, self.height, self.width)
+        from ..ops import features as FT
+        feats0 = FT.empty_feats(cfg.max_frames, cfg.max_kf_features)
+        if cfg.enable_indirect:
+            ext = self._extract_feats(img)
+        else:
+            z1 = jnp.zeros(1, jnp.float32)
+            ext = (z1, z1, jnp.zeros(1, jnp.int32), z1,
+                   jnp.zeros((1, 8), jnp.uint32), jnp.zeros(1, bool))
+        self._init_seed(wnd0, feats0, pyr[0], zf, zf, vf,
+                        jnp.ones(nf, jnp.float32), one, *ext)
+        if stop():
+            return
+        sel = self._select_px(self.selector_pot, pyr[0], grads3,
+                              int(cfg.desired_immature_density), 0)
+        imm0 = KS.empty_imm(cfg)
+        out = self._kf_step(
+            wnd0, self.calib, imm0, feats0, tuple(pyr),
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+            z2, one, jnp.int32(0), jnp.int32(0), jnp.int32(-1),
+            jnp.zeros(F, bool), jnp.float32(2.0), jnp.int32(1),
+            *sel, ind_w_scale=one)
+        template = out[4]
+        if stop():
+            return
+        self._track_step(template, jnp.zeros((self.height, self.width),
+                                             jnp.uint8),
+                         self.calib.value, eye4, eye4, eye4,
+                         jnp.bool_(False), z2, one, one, z2,
+                         dt_ratio=one)
+        if stop():
+            return
+        self._trace_step(imm0, wnd0.frames, self.calib.value,
+                         jnp.eye(3, dtype=jnp.float32),
+                         jnp.zeros(3, jnp.float32), z2, one, pyr[0])
 
     def wait_compiles(self, timeout: float = 1200.0):
         """Block until the background kernel precompiles finish — call after
@@ -532,6 +624,92 @@ class SLAMSystem:
             return col, wgt, gH, finite
 
         ns["_sample_pattern"] = sample_pattern
+
+        # --- init-path kernels. These run only during bootstrap, but
+        # UN-jitted they dispatch hundreds of single-op executables at
+        # ~0.35s per remote-compile round trip — measured as the bulk of
+        # the 200s+ cold warmup (555 tiny compiles). One jit each.
+        def klt_flow(ref_pyr, tgt_pyr, u, v, valid):
+            """KLT + stationarity statistics in one dispatch
+            (Initializer.cpp:341-398 + :117-118)."""
+            pts = jnp.stack([u, v], -1)
+            tracked, ok, _err = klt_ops.track(list(ref_pyr), list(tgt_pyr),
+                                              pts)
+            ok = ok & valid
+            n_ok = jnp.sum(ok)
+            flow = jnp.sqrt(jnp.sum((tracked - pts) ** 2, -1))
+            mean_flow = (jnp.sum(jnp.where(ok, flow, 0.0))
+                         / jnp.maximum(n_ok, 1))
+            return pts, tracked, ok, n_ok, mean_flow
+
+        ns["_klt_flow"] = jax.jit(klt_flow)
+        ns["_two_view"] = jax.jit(
+            lambda p1, p2, ok, K, key: tv_ops.two_view_reconstruct(
+                p1, p2, ok, K, key, n_iters=cfg.init_ransac_iters))
+
+        def init_seed(wnd, feats, img0, u, v, cand_ok, idepth, exposure,
+                      f_u, f_v, f_lvl, f_sc, f_desc, f_val):
+            """InitFromInitializer's numeric core (System.cpp:249-319):
+            seed KF0 into slot 0 with depth-prior'd active points (+ the
+            indirect keypoint links) — ONE dispatch instead of ~40
+            op-by-op scatters."""
+            frames = wnd.frames
+            frames = frames._replace(
+                valid=frames.valid.at[0].set(True),
+                evalpt_R=frames.evalpt_R.at[0].set(jnp.eye(3)),
+                evalpt_t=frames.evalpt_t.at[0].set(jnp.zeros(3)),
+                state=frames.state.at[0].set(0.0),
+                state_zero=frames.state_zero.at[0].set(0.0),
+                exposure=frames.exposure.at[0].set(exposure),
+                prior=frames.prior.at[0].set(
+                    jnp.asarray(W.first_frame_prior(cfg))),
+                kf_id=frames.kf_id.at[0].set(0),
+                images=frames.images.at[0].set(img0),
+            )
+            col, wgt, _gH, finite = sample_pattern(img0, u, v)
+            cand_ok = cand_ok & finite
+
+            kp_link = jnp.full(u.shape[0], -1, jnp.int32)
+            if cfg.enable_indirect:
+                feats = feats._replace(
+                    u=feats.u.at[0].set(f_u),
+                    v=feats.v.at[0].set(f_v),
+                    level=feats.level.at[0].set(f_lvl),
+                    score=feats.score.at[0].set(f_sc),
+                    desc=feats.desc.at[0].set(f_desc),
+                    valid=feats.valid.at[0].set(f_val),
+                )
+                d2 = ((u[:, None] - f_u[None, :]) ** 2
+                      + (v[:, None] - f_v[None, :]) ** 2)
+                d2 = jnp.where(f_val[None, :], d2, jnp.inf)
+                nn = jnp.argmin(d2, axis=1)
+                kp_link = jnp.where(jnp.min(d2, axis=1) <= 2.5 ** 2,
+                                    nn.astype(jnp.int32), -1)
+
+            points = wnd.points
+            slots, write = assign_free_slots(points.status == W.PT_EMPTY,
+                                             cand_ok)
+            points = points._replace(
+                kp_idx=scatter_update(points.kp_idx, slots, write, kp_link),
+                status=scatter_update(points.status, slots, write,
+                                      jnp.full_like(slots, W.PT_ACTIVE)),
+                host=scatter_update(points.host, slots, write,
+                                    jnp.zeros_like(slots)),
+                u=scatter_update(points.u, slots, write, u),
+                v=scatter_update(points.v, slots, write, v),
+                idepth=scatter_update(points.idepth, slots, write, idepth),
+                idepth_zero=scatter_update(points.idepth_zero, slots, write,
+                                           idepth),
+                color=scatter_update(points.color, slots, write, col),
+                weight=scatter_update(points.weight, slots, write, wgt),
+                prior=scatter_update(points.prior, slots, write,
+                                     jnp.full_like(u, cfg.idepth_fix_prior)),
+            )
+            n_pts0 = jnp.sum(cand_ok)
+            return (W.Window(frames=frames, points=points, HM=wnd.HM,
+                             bM=wnd.bM), feats, n_pts0)
+
+        ns["_init_seed"] = jax.jit(init_seed)
 
         @jax.jit
         def map_cloud(frames, points, calib_value):
@@ -816,9 +994,25 @@ class SLAMSystem:
             jnp.asarray(rels[:, :3, :3], jnp.float32),
             jnp.asarray(rels[:, :3, 3], jnp.float32), raws,
         )
-        (self._pc_params, self._pc_rms, self._inv_response,
-         self._grad_weight, self._inv_vignette) = self._pc_fit(
+        (self._pc_params, self._pc_rms, inv_resp, grad_w,
+         inv_vig) = self._pc_fit(
             obs, r2, mask, jnp.asarray(exps), known=exp_known)
+        if self._inv_response is None:
+            # first fit: switch the correction on (ONE photometric
+            # transient — the window's stored keyframe images predate it
+            # and re-sync as keyframes cycle)
+            self._inv_response = inv_resp
+            self._grad_weight = grad_w
+            self._inv_vignette = inv_vig
+        else:
+            # later refits: BLEND into the applied correction instead of
+            # swapping it — an abrupt LUT change photometrically de-syncs
+            # incoming frames from every keyframe image already in the
+            # window (template + BA residuals), measurably costing ATE
+            a = self._pc_blend
+            self._inv_response = (1 - a) * self._inv_response + a * inv_resp
+            self._grad_weight = (1 - a) * self._grad_weight + a * grad_w
+            self._inv_vignette = (1 - a) * self._inv_vignette + a * inv_vig
 
     def _complete_tracked(self, shell: Shell, out, raw=None) -> Shell:
         """Finalize one pipelined frame: pull the track result (one host
@@ -1079,6 +1273,11 @@ class SLAMSystem:
         if self._metrics_f is not None:
             self._metrics_f.close()
             self._metrics_f = None
+        # wind the background precompile thread down — a daemon thread
+        # still inside an XLA call at interpreter exit aborts the process
+        self._precompile_stop = True
+        if self._precompile_thread is not None:
+            self._precompile_thread.join(timeout=15)
         if self.sequential:
             return
         with self._qcond:
@@ -1153,10 +1352,12 @@ class SLAMSystem:
         first = self._init_first
         ref_pyr = first["pyr"]
         tgt_pyr = [p[..., 0] for p in pyr]
-        pts = jnp.stack([first["u"], first["v"]], -1)
-        tracked, ok, err = klt_ops.track(ref_pyr, tgt_pyr, pts)
-        ok = ok & first["valid"]
-        n_ok = int(jnp.sum(ok))
+        # KLT + flow statistics in ONE jitted dispatch (un-jitted, this
+        # path was ~150 single-op remote compiles per init attempt)
+        pts, tracked, ok, n_ok_d, mean_flow_d = self._klt_flow(
+            tuple(ref_pyr), tuple(tgt_pyr), first["u"], first["v"],
+            first["valid"])
+        n_ok = int(n_ok_d)
         if n_ok < self.cfg.init_min_matches:
             first["fails"] += 1
             if first["fails"] > 40:
@@ -1164,9 +1365,7 @@ class SLAMSystem:
             return
 
         # stationarity check: mean flow (Initializer.cpp:117-118)
-        flow = jnp.sqrt(jnp.sum((tracked - pts) ** 2, -1))
-        mean_flow = float(jnp.sum(jnp.where(ok, flow, 0.0)) / max(n_ok, 1))
-        if mean_flow < 0.05 * (self.width + self.height) * 0.5 * 0.1:
+        if float(mean_flow_d) < 0.05 * (self.width + self.height) * 0.5 * 0.1:
             return  # not enough parallax yet
 
         K = np.array(
@@ -1174,9 +1373,8 @@ class SLAMSystem:
              [0, float(self.calib.value[1]), float(self.calib.value[3])],
              [0, 0, 1.0]], dtype=np.float32,
         )
-        res = tv_ops.two_view_reconstruct(
+        res = self._two_view(
             pts, tracked, ok, jnp.asarray(K), jax.random.PRNGKey(shell.id),
-            n_iters=self.cfg.init_ransac_iters,
         )
         if not bool(res.ok):
             first["fails"] += 1
@@ -1237,77 +1435,30 @@ class SLAMSystem:
         shell.tracking_ref = first_shell.id
         shell.cam_to_ref = shell.cam_to_world.copy()
 
-        # --- KF0 into slot 0 with depth-prior'd active points
-        wnd = self.window
-        F = cfg.max_frames
-        frames = wnd.frames
+        # --- KF0 into slot 0 with depth-prior'd active points + indirect
+        # keypoint links — the whole numeric seeding is ONE jitted dispatch
+        # (ns["_init_seed"]; System.cpp:249-319)
         img0 = first["dir0"]
-        frames = frames._replace(
-            valid=frames.valid.at[0].set(True),
-            evalpt_R=frames.evalpt_R.at[0].set(jnp.eye(3)),
-            evalpt_t=frames.evalpt_t.at[0].set(jnp.zeros(3)),
-            state=frames.state.at[0].set(0.0),
-            state_zero=frames.state_zero.at[0].set(0.0),
-            exposure=frames.exposure.at[0].set(first_shell.exposure),
-            prior=frames.prior.at[0].set(jnp.asarray(W.first_frame_prior(cfg))),
-            kf_id=frames.kf_id.at[0].set(0),
-            images=frames.images.at[0].set(img0),
-        )
+        u = first["u"]
+        v = first["v"]
         self.slot_shell[0] = first_shell.id
         self.kf_shell_ids.append(first_shell.id)
 
-        # points: triangulated (refined) inliers
-        cand_ok = jnp.asarray(ok_mask)
-        u = first["u"]
-        v = first["v"]
-        col, wgt, gH, finite = self._sample_pattern(img0, u, v)
-        cand_ok = cand_ok & finite
-
-        # indirect frontend for KF0: extract its keypoints and link each
-        # bootstrap point to the nearest keypoint (<= 2.5 px) so the hybrid
-        # reprojection factors cover the bootstrap map too
-        kp_link = jnp.full(u.shape[0], -1, jnp.int32)
         if cfg.enable_indirect:
-            f_u, f_v, f_lvl, f_sc, f_desc, f_val = self._extract_feats(
-                img0[..., 0])
-            self.feats = self.feats._replace(
-                u=self.feats.u.at[0].set(f_u),
-                v=self.feats.v.at[0].set(f_v),
-                level=self.feats.level.at[0].set(f_lvl),
-                score=self.feats.score.at[0].set(f_sc),
-                desc=self.feats.desc.at[0].set(f_desc),
-                valid=self.feats.valid.at[0].set(f_val),
-            )
-            d2 = ((u[:, None] - f_u[None, :]) ** 2
-                  + (v[:, None] - f_v[None, :]) ** 2)
-            d2 = jnp.where(f_val[None, :], d2, jnp.inf)
-            nn = jnp.argmin(d2, axis=1)
-            kp_link = jnp.where(
-                jnp.min(d2, axis=1) <= 2.5 ** 2, nn.astype(jnp.int32), -1)
-
-        points = wnd.points
-        slots, write = assign_free_slots(points.status == W.PT_EMPTY, cand_ok)
-        points = points._replace(
-            kp_idx=scatter_update(points.kp_idx, slots, write, kp_link),
-            status=scatter_update(points.status, slots, write,
-                                  jnp.full_like(slots, W.PT_ACTIVE)),
-            host=scatter_update(points.host, slots, write, jnp.zeros_like(slots)),
-            u=scatter_update(points.u, slots, write, u),
-            v=scatter_update(points.v, slots, write, v),
-            idepth=scatter_update(points.idepth, slots, write, jnp.asarray(idepth)),
-            idepth_zero=scatter_update(points.idepth_zero, slots, write,
-                                       jnp.asarray(idepth)),
-            color=scatter_update(points.color, slots, write, col),
-            weight=scatter_update(points.weight, slots, write, wgt),
-            prior=scatter_update(points.prior, slots, write,
-                                 jnp.full_like(u, cfg.idepth_fix_prior)),
-        )
-        self.window = W.Window(frames=frames, points=points, HM=wnd.HM, bM=wnd.bM)
+            ext = self._extract_feats(img0[..., 0])
+        else:
+            z1 = jnp.zeros(1, jnp.float32)
+            ext = (z1, z1, jnp.zeros(1, jnp.int32), z1,
+                   jnp.zeros((1, 8), jnp.uint32), jnp.zeros(1, bool))
+        self.window, self.feats, n_pts0_d = self._init_seed(
+            self.window, self.feats, img0, u, v, jnp.asarray(ok_mask),
+            jnp.asarray(idepth, jnp.float32),
+            jnp.float32(first_shell.exposure or 1.0), *ext)
         self.initialized = True
         self._init_first = None
 
         # seed the host policy mirrors for KF0 (one pull during init only)
-        n_pts0 = int(np.asarray(jnp.sum(cand_ok)))
+        n_pts0 = int(n_pts0_d)
         self._m_valid[:] = False
         self._m_valid[0] = True
         self._m_kfid[:] = -1
@@ -1732,6 +1883,16 @@ class SLAMSystem:
             int(cfg.desired_immature_density), shell.id)
         _t1 = _time.perf_counter()
 
+        # indirect-weight schedule: lean on the geometric terms (up to 3x)
+        # when the photometric tracker runs worse than its own baseline on
+        # the current reference (see indirect_associate)
+        if cfg.indirect_weight_schedule and self.first_coarse_rmse > 0:
+            iw_scale = float(np.clip(
+                self.last_coarse_rmse[0] / max(self.first_coarse_rmse, 1e-6),
+                1.0, 3.0))
+        else:
+            iw_scale = 1.0
+
         Twc = np.linalg.inv(shell.cam_to_world)
         window, calib, imm, feats, template, result, bundle = self._kf_step(
             self.window, self.calib, self.imm, self.feats, tuple(pyr),
@@ -1743,6 +1904,7 @@ class SLAMSystem:
             jnp.asarray(flag_mask),
             jnp.float32(self.current_min_act_dist), jnp.int32(iters),
             sel_u, sel_v, sel_type, sel_valid,
+            ind_w_scale=jnp.float32(iw_scale),
         )
         _t2 = _time.perf_counter()
         self.window, self.calib, self.imm = window, calib, imm
@@ -1987,7 +2149,7 @@ class SLAMSystem:
                                                doc_ids=doc_ids)
                 self.loop_closer = LoopCloser(voc, min_gap=10,
                                               dist_mesh=self.dist_mesh,
-                                              min_loop_error_rel=2.5,
+                                              min_loop_error_rel=1.0,
                                               consistency_th=2)
                 # backfill the keyframes that fed the vocabulary — without
                 # them the revisit has nothing to match against

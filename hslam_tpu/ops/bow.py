@@ -193,3 +193,8 @@ def l1_score(v: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
     """DBoW3 L1 scoring: s = 1 - 0.5 |v - w|_1 for L1-normalized v, w.
     v: (n_words,), db: (M, n_words) -> (M,)."""
     return 1.0 - 0.5 * jnp.sum(jnp.abs(v[None, :] - db), axis=-1)
+
+
+# jitted entry for the per-keyframe loop-closure scoring path (one
+# executable per padded database bucket)
+l1_score_jit = jax.jit(l1_score)

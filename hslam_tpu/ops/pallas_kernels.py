@@ -10,13 +10,13 @@ launch (one HBM read of the level, four writes).
 Falls back to the jnp implementation (ops/pyramid.py) off-TPU; tests run
 the kernel in interpreter mode for parity.
 
-STATUS: interpret-mode verified; NOT yet on the default path. This
-environment's Mosaic toolchain (remote-compile helper, jax 0.9/libtpu
-Nov-2025 terminal) rejects both the 4D-reshape reduction and stride-2
-slicing forms of the 2x2 downsample inside a TPU kernel (scatter is also
-unimplemented). The XLA path costs ~3 ms/frame at 640x480 and is not a
-bottleneck; revisit when the toolchain accepts one of the downsample
-formulations or with a row-tiled grid design.
+The 2x2 downsample is formulated as two banded 0/1 pooling MATMULS
+(down = 0.25 * A @ img @ B, A/B built from iota comparisons in-kernel):
+this environment's Mosaic toolchain (remote-compile helper, jax
+0.9/libtpu terminal) rejects both the 4D-reshape reduction and the
+stride-2 slicing forms inside a TPU kernel (scatter is unimplemented
+too), but matmuls are Mosaic's native ground — and they run on the MXU,
+which is idle during this memory-bound pass anyway.
 """
 from __future__ import annotations
 
@@ -51,11 +51,19 @@ def _level_kernel(img_ref, down_ref, dx_ref, dy_ref, g2_ref):
     g2_ref[:] = dx * dx + dy * dy
 
     H2, W2 = H // 2, W // 2
-    # strided 2x2 mean (the 4D-reshape reduction form does not lower)
-    c = img[: H2 * 2, : W2 * 2]
-    down_ref[:] = 0.25 * (
-        c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2]
-    )
+    # 2x2 mean as two banded 0/1 pooling matmuls on the MXU: Mosaic
+    # rejects strided slicing and 4D-reshape reductions in-kernel, but
+    # lowers matmuls natively (and the MXU is idle in this pass)
+    ar = jax.lax.broadcasted_iota(jnp.int32, (H2, H), 0)
+    ac = jax.lax.broadcasted_iota(jnp.int32, (H2, H), 1)
+    A = ((ac == 2 * ar) | (ac == 2 * ar + 1)).astype(jnp.float32)
+    br = jax.lax.broadcasted_iota(jnp.int32, (W, W2), 0)
+    bc = jax.lax.broadcasted_iota(jnp.int32, (W, W2), 1)
+    B = ((br == 2 * bc) | (br == 2 * bc + 1)).astype(jnp.float32)
+    colsum = jnp.dot(img[: H2 * 2, : W2 * 2].astype(jnp.float32), B[: W2 * 2],
+                     preferred_element_type=jnp.float32)
+    down_ref[:] = 0.25 * jnp.dot(A[:, : H2 * 2], colsum,
+                                 preferred_element_type=jnp.float32)
 
 
 def pyramid_level(img: jnp.ndarray, interpret: bool = False):
