@@ -23,6 +23,40 @@ def test_pyramid_level_parity():
                                np.asarray(ref_levels[1][..., 0]), atol=1e-5)
 
 
+def test_dispatch_routes_to_pallas(monkeypatch):
+    """build_direct_pyramid must route through the Pallas kernel when the
+    mode resolves to on/interp (the default TPU path), with identical
+    results."""
+    from hslam_tpu.ops import pallas_kernels, pyramid
+
+    key = jax.random.PRNGKey(2)
+    img = jax.random.uniform(key, (64, 96), minval=0.0, maxval=255.0)
+    base_lv, base_gr = pyramid.build_direct_pyramid(img, 3)
+
+    calls = []
+    orig = pallas_kernels.build_direct_pyramid_pallas
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pallas_kernels, "build_direct_pyramid_pallas", spy)
+    monkeypatch.setenv("HSLAM_PALLAS", "interp")
+    lv, gr = pyramid.build_direct_pyramid(img, 3)
+    assert calls, "HSLAM_PALLAS=interp did not route to the Pallas kernel"
+    for a, b in zip(lv, base_lv):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    for a, b in zip(gr, base_gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-2)
+
+    # tiny images must fall back (deepest level would be < 2 px)
+    calls.clear()
+    tiny = jax.random.uniform(key, (8, 8), minval=0.0, maxval=255.0)
+    pyramid.build_direct_pyramid(tiny, 4)
+    assert not calls, "tiny-image fallback did not trigger"
+
+
 def test_full_pyramid_parity():
     key = jax.random.PRNGKey(1)
     img = jax.random.uniform(key, (96, 128), minval=0.0, maxval=255.0)
