@@ -70,7 +70,23 @@ def make_renderer():
         amps[i] * jnp.sin(2 * jnp.pi * (kx[i] * xs / W + ky[i] * ys / H) + ph[i])
         for i in range(8)
     )
-    I0 = I0.astype(jnp.float32)
+    # plus corner-bearing micro-structure: small Gaussian blobs. The pure
+    # sine plane is smooth at pixel scale and carries ZERO FAST corners
+    # (measured) — real scenes have corners, and without them the whole
+    # indirect layer (hybrid factors, BoW loop closure, relocalization)
+    # would idle through the benchmark.
+    blob = np.array(I0)          # mutable copy (np.asarray of a jax array is read-only)
+    rng = np.random.default_rng(17)
+    stamp_r = 6
+    yy, xx = np.mgrid[-stamp_r:stamp_r + 1, -stamp_r:stamp_r + 1]
+    for _ in range(400):
+        bx = rng.integers(stamp_r, W - stamp_r)
+        by = rng.integers(stamp_r, H - stamp_r)
+        amp = rng.uniform(18.0, 45.0) * rng.choice([-1.0, 1.0])
+        sig = rng.uniform(1.2, 2.6)
+        blob[by - stamp_r:by + stamp_r + 1, bx - stamp_r:bx + stamp_r + 1] += (
+            amp * np.exp(-(xx * xx + yy * yy) / (2 * sig * sig)))
+    I0 = jnp.asarray(np.clip(blob, 2.0, 253.0), jnp.float32)
 
     px = (xs - CX) / FX
     py = (ys - CY) / FY

@@ -509,7 +509,8 @@ def kf_step(
         f_u, f_v, f_lvl, f_sc, f_desc, f_val = ft.extract_multiscale(
             pyr[0][..., 0], cfg.ind_pyr_levels, cfg.max_kf_features,
             float(cfg.min_th_fast), scale=cfg.ind_pyr_scale,
-            do_subpix=cfg.do_subpix)
+            do_subpix=cfg.do_subpix, use_fast_only=cfg.use_fast,
+            min_grad=float(cfg.min_grad_hist_add))
         feats = feats._replace(
             u=feats.u.at[slot].set(f_u),
             v=feats.v.at[slot].set(f_v),

@@ -188,10 +188,18 @@ class LoopCloser:
         the window already shares residuals with adds no information and can
         short-circuit the min_gap check after marginalization reshuffles."""
         q = self.entries[query_idx]
+        # an empty BoW vector (featureless frame) scores 0.5 against any
+        # entry and 1.0 against another empty one under the L1 metric —
+        # never let those drive candidate selection
+        if float(np.abs(q.bow).sum()) < 1e-6:
+            self._prev_cand_kf = None
+            self._consist_count = 0
+            return None
         cands = [
             i for i, e in enumerate(self.entries)
             if abs(e.kf_id - q.kf_id) >= self.min_gap
             and e.kf_id not in exclude_kfs
+            and float(np.abs(e.bow).sum()) > 1e-6
         ]
         if not cands:
             # no candidates: a streak from much earlier keyframes must not
@@ -215,6 +223,14 @@ class LoopCloser:
             min_ref = 0.05
 
         best = int(np.argmax(scores))
+        if _LC_DEBUG:
+            top = np.argsort(scores)[::-1][:4]
+            _dbg(f"q{q.kf_id}: qvalid {int(np.sum(q.valid))} "
+                 f"qbow|1 {float(np.abs(q.bow).sum()):.2f} cands "
+                 + " ".join(
+                     f"kf{self.entries[cands[i]].kf_id}:{scores[i]:.3f}"
+                     f"(v{int(np.sum(self.entries[cands[i]].valid))})"
+                     for i in top))
         if scores[best] < max(min_ref, 0.015):
             _dbg(f"q{q.kf_id}: score {scores[best]:.3f} < "
                  f"{max(min_ref, 0.015):.3f}")

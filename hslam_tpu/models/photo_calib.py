@@ -73,7 +73,9 @@ def _U(params: PhotoParams, obs: jnp.ndarray) -> jnp.ndarray:
 def _log_vignette(params: PhotoParams, r2: jnp.ndarray) -> jnp.ndarray:
     a2, a4, a6 = params.vig[0], params.vig[1], params.vig[2]
     v = 1.0 + a2 * r2 + a4 * r2 * r2 + a6 * r2 * r2 * r2
-    return jnp.log(jnp.clip(v, 1e-3, 10.0))
+    # [0.1, 4]: physical lens falloff never leaves this range; the clip is
+    # the last-ditch bound on correction damage if the fit still overshoots
+    return jnp.log(jnp.clip(v, 0.1, 4.0))
 
 
 def residuals(params: PhotoParams, obs: jnp.ndarray, frame_idx: jnp.ndarray,
@@ -93,7 +95,9 @@ def residuals(params: PhotoParams, obs: jnp.ndarray, frame_idx: jnp.ndarray,
 def calibrate(params: PhotoParams, obs: jnp.ndarray, frame_idx: jnp.ndarray,
               r2: jnp.ndarray, mask: jnp.ndarray, n_iters: int = 20,
               lam: float = 1e-4, smooth_w: float = 0.3,
-              exp_known: jnp.ndarray | None = None):
+              exp_known: jnp.ndarray | None = None,
+              vig_w: tuple = (0.02, 0.2, 2.0),
+              prev: "PhotoParams | None" = None, prev_w: float = 0.5):
     """Joint GN over (u_raw, vig, log_exp). Returns updated params and the
     final data-residual RMS.
 
@@ -101,6 +105,21 @@ def calibrate(params: PhotoParams, obs: jnp.ndarray, frame_idx: jnp.ndarray,
     uniformity — without it the problem has a near-degenerate minimum that
     flattens the response over the observed range and zeroes the exposures
     (the response shape is only constrained where observations overlap).
+
+    `vig_w` Tikhonov-regularizes the vignette polynomial with graduated
+    weights on (a2, a4, a6). Tracked-point observations in one window cover
+    a NARROW radius band; unregularized, the even polynomial extrapolates
+    catastrophically outside it (measured: fitted a6 swinging to ~280 on a
+    ground-truth a2-only vignette, making the "correction" worse than raw).
+    The weights ride the same sqrt(n_obs) scale as the data norm, so a2 at
+    w=0.02 moves freely to genuine values (~-0.45) while a6 at w=2 cannot
+    run away.
+
+    `prev` (a PhotoParams or None) adds a weak prior toward the previous
+    refit's vignette/response — the temporal smoothing that keeps
+    successive online refits from oscillating (each window sees different
+    frames; the applied LUT is a blend, so per-refit swings photometrically
+    de-sync the window).
 
     `exp_known` ((F,) exposure times or None): with UNKNOWN exposures the
     problem has a 1-parameter gauge ambiguity — U -> a*U is absorbed exactly
@@ -112,12 +131,21 @@ def calibrate(params: PhotoParams, obs: jnp.ndarray, frame_idx: jnp.ndarray,
     making the full response shape identifiable."""
     flat, unravel = jax.flatten_util.ravel_pytree(params)
     n_obs = jnp.sqrt(jnp.maximum(jnp.sum(mask), 1.0))
+    vig_wv = jnp.asarray(vig_w)
 
     def res_flat(p):
         pp = unravel(p)
         data = residuals(pp, obs, frame_idx, r2, mask).reshape(-1)
         log_inc = jnp.log(jax.nn.softplus(pp.u_raw) + 1e-4)
         reg = smooth_w * (n_obs / pp.u_raw.shape[0]) * jnp.diff(log_inc)
+        reg = jnp.concatenate([reg, vig_wv * n_obs * pp.vig])
+        if prev is not None:
+            reg_p = jnp.concatenate([
+                prev_w * n_obs * (pp.vig - prev.vig),
+                prev_w * (n_obs / pp.u_raw.shape[0])
+                * (pp.u_raw - prev.u_raw),
+            ])
+            reg = jnp.concatenate([reg, reg_p])
         if exp_known is not None:
             # exposure telemetry: pin log-exposures (relative to frame 0,
             # matching the e_0 = 1 gauge of `residuals`)

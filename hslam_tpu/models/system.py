@@ -384,6 +384,29 @@ class SLAMSystem:
                 self.loop_closer.warmup(n)
         except Exception:
             pass
+        # --- online photometric calibration (sample + cold fit + warm
+        # refit — three distinct executables the live path hits)
+        if self._precompile_stop:
+            return
+        try:
+            if self.online_photo_calib:
+                Fr = self.photo_calib_every
+                tcap = min(self.height * self.width, trk_ops.TEMPLATE_CAP)
+                tz = jnp.zeros(tcap, jnp.float32)
+                K4 = jnp.asarray(np.ones(4, np.float32))
+                raws = jnp.zeros((Fr, self.height, self.width), jnp.uint8)
+                eyeF = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                                        (Fr, 3, 3))
+                obs, r2, mask = self._pc_sample(
+                    tz, tz, tz, jnp.ones(tcap, bool), K4, eyeF,
+                    jnp.zeros((Fr, 3), jnp.float32), raws)
+                expz = jnp.ones(Fr, jnp.float32)
+                p0, *_ = self._pc_fit(obs, r2, mask, expz, known=True)
+                if not self._precompile_stop:
+                    self._pc_fit(obs, r2, mask, expz, known=True,
+                                 params0=p0, warm=True)
+        except Exception:
+            pass
 
     def _precompile_main_path(self):
         """Touch every main-path kernel on dummy (all-invalid / zero)
@@ -528,18 +551,27 @@ class SLAMSystem:
 
         ns["_pc_sample"] = pc_sample
 
-        @partial(jax.jit, static_argnames=("known",))
-        def pc_fit(obs, r2, mask, exp, known):
+        @partial(jax.jit, static_argnames=("known", "warm"))
+        def pc_fit(obs, r2, mask, exp, known, params0=None, warm=False):
             """Joint response/vignette/exposure GN + LUT derivation, all
             on device (models/photo_calib.py). `known=True` pins the
             log-exposures to the telemetry in `exp` — breaks the gamma
-            gauge ambiguity of joint response+exposure estimation."""
+            gauge ambiguity of joint response+exposure estimation. `warm`
+            (with `params0` = the previous refit's params) warm-starts the
+            GN and adds a weak prior toward the previous response/vignette
+            so successive refits cannot oscillate."""
             from ..models import photo_calib as PC
             from ..ops.undistort import invert_response, response_grad_weight
-            params = PC.init_params(obs.shape[1])
+            if warm:
+                params = params0._replace(
+                    log_exp=jnp.zeros(obs.shape[1], params0.log_exp.dtype))
+                prev = params0
+            else:
+                params = PC.init_params(obs.shape[1])
+                prev = None
             params, rms = PC.calibrate(
                 params, obs, jnp.arange(obs.shape[1]), r2, mask,
-                exp_known=exp if known else None)
+                exp_known=exp if known else None, prev=prev)
             lut = PC.gamma_lut(params)
             inv_resp = invert_response(lut)
             grad_w = response_grad_weight(lut)
@@ -596,7 +628,8 @@ class SLAMSystem:
             lambda img: FT.extract_multiscale(
                 img, cfg.ind_pyr_levels, cfg.max_kf_features,
                 float(cfg.min_th_fast), scale=cfg.ind_pyr_scale,
-                do_subpix=cfg.do_subpix))
+                do_subpix=cfg.do_subpix, use_fast_only=cfg.use_fast,
+                min_grad=float(cfg.min_grad_hist_add)))
         from ..ops import init_refine as ir_ops
         ns["_init_refine"] = jax.jit(partial(ir_ops.direct_refine, cfg=cfg))
         ns["_k_pyr"] = jax.jit(partial(k_pyr_from_value, n_levels=n_lvl))
@@ -996,7 +1029,8 @@ class SLAMSystem:
         )
         (self._pc_params, self._pc_rms, inv_resp, grad_w,
          inv_vig) = self._pc_fit(
-            obs, r2, mask, jnp.asarray(exps), known=exp_known)
+            obs, r2, mask, jnp.asarray(exps), known=exp_known,
+            params0=self._pc_params, warm=self._pc_params is not None)
         if self._inv_response is None:
             # first fit: switch the correction on (ONE photometric
             # transient — the window's stored keyframe images predate it

@@ -177,12 +177,24 @@ def extract_multiscale(
     scale: float = 1.2,
     nms_cell: int = 8,
     do_subpix: bool = False,
+    use_fast_only: bool = False,
+    min_grad: float = 7.0,
 ):
     """Multi-scale FAST + oriented rBRIEF over a 1.2x feature pyramid
     (Frame::CreateIndPyrs + FeatureDetector::ExtractFeatures). Returns
     (u, v, level, score, desc, valid) with fixed capacity; coordinates in
     level-0 pixels. `do_subpix` enables cornerSubPix-style refinement of
-    the keypoint locations (Detector.cpp:77-86)."""
+    the keypoint locations (Detector.cpp:77-86).
+
+    `use_fast_only=False` (the reference DEFAULT, UseFAST=false:
+    Detector.cpp:56-67 converts PixelSelector gradient samples into the
+    keypoint set) unions the FAST response with a gradient-magnitude score
+    on cells where FAST fires nothing: low-corner scenes — smooth texture,
+    man-made gradients — still yield a full descriptor set, exactly like
+    the reference's gradient-sampled keypoints. FAST corners keep priority
+    in their cells (their scores ride on top). `min_grad` is the minimum
+    gradient magnitude for a gradient-selected keypoint
+    (PixelSelector's histogram-threshold add, Settings min_grad_hist_add)."""
     H, W = img.shape
     caps = _level_capacities(capacity, n_levels, scale)
 
@@ -195,6 +207,16 @@ def extract_multiscale(
             lvl_img = jax.image.resize(img, (hl, wl), method="bilinear")
         hl, wl = lvl_img.shape
         score = fast_score(lvl_img, fast_th)
+        if not use_fast_only:
+            dx = 0.5 * (jnp.roll(lvl_img, -1, 1) - jnp.roll(lvl_img, 1, 1))
+            dy = 0.5 * (jnp.roll(lvl_img, -1, 0) - jnp.roll(lvl_img, 1, 0))
+            g2 = dx * dx + dy * dy
+            grad_sc = jnp.where(g2 > min_grad * min_grad, g2, 0.0)
+            # FAST corners outrank every gradient pick: corner scores are
+            # lifted above the gradient cap, gradient scores keep their
+            # relative order below it
+            score = jnp.where(score > 0.0, score + 1e4,
+                              jnp.minimum(grad_sc, 9.9e3))
         # exclude the descriptor border (the 19-px indirect-pyramid border
         # semantics, Frame.cpp:57-74)
         score = score.at[:BORDER, :].set(0.0).at[-BORDER:, :].set(0.0)

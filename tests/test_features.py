@@ -42,6 +42,45 @@ class TestExtraction:
         vv = np.asarray(v)[np.asarray(valid)]
         assert uu.min() >= ft.BORDER - 1 and vv.min() >= ft.BORDER - 1
 
+    def test_gradient_fallback_on_smooth_texture(self):
+        """Reference-default keypoint source (UseFAST=false,
+        Detector.cpp:56-67): a smooth low-frequency texture has ZERO FAST
+        corners (the r5 bench scene measured exactly that — the whole
+        indirect layer idled), but gradient-selected keypoints must still
+        fill the budget and their descriptors must match across a gain
+        change (monotone flicker keeps rBRIEF tap signs)."""
+        h, w = 240, 320
+        ys, xs = np.mgrid[0:h, 0:w]
+        img = 120.0 + sum(
+            a * np.sin(2 * np.pi * (kx * xs / w + ky * ys / h) + p)
+            for a, kx, ky, p in [(40, 2.3, 1.1, 0.3), (25, 3.7, 2.9, 1.7),
+                                 (15, 1.3, 3.4, 2.9), (10, 4.9, 4.1, 0.9)]
+        )
+        img = np.clip(np.round(img), 0, 255).astype(np.float32)
+
+        # FAST-only: (near) nothing
+        *_, valid_fast = ft.extract_multiscale(
+            jnp.asarray(img), 3, 256, 8.0, use_fast_only=True)
+        assert int(valid_fast.sum()) < 10
+
+        # gradient fallback: a real feature set
+        u1, v1, _, _, d1, ok1 = ft.extract_multiscale(
+            jnp.asarray(img), 3, 256, 8.0)
+        assert int(ok1.sum()) > 80
+
+        # matching across a 1.12x gain (loop-phase flicker)
+        img2 = np.clip(np.round(img * 1.12), 0, 255).astype(np.float32)
+        u2, v2, _, _, d2, ok2 = ft.extract_multiscale(
+            jnp.asarray(img2), 3, 256, 8.0)
+        from hslam_tpu.ops.orb import match_descriptors
+        idx, mok = match_descriptors(d1, d2, valid_a=ok1, valid_b=ok2)
+        mok_np = np.asarray(mok)
+        assert int(mok_np.sum()) >= 25
+        du = np.asarray(u2)[np.asarray(idx)] - np.asarray(u1)
+        dv = np.asarray(v2)[np.asarray(idx)] - np.asarray(v1)
+        disp = np.sqrt(du ** 2 + dv ** 2)[mok_np]
+        assert float(np.median(disp)) < 2.0
+
     def test_descriptor_shift_matching(self):
         img = _texture(seed=1)
         ex = jax.jit(lambda im: ft.extract_multiscale(im, 3, 256, 8.0))
