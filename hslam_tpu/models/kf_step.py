@@ -196,7 +196,9 @@ def activate_candidates(
     xh = (pts.u - cx) / fx
     yh = (pts.v - cy) / fy
     dirs = jnp.stack([xh, yh, jnp.ones_like(xh)], -1)
-    p3 = jnp.einsum("pij,pj->pi", R_rel[Ph], dirs) + t_rel[Ph] * pts.idepth[:, None]
+    # broadcast form, not einsum: P-batched 3x3 dots pad MXU tiles
+    p3 = (jnp.sum(R_rel[Ph] * dirs[:, None, :], axis=-1)
+          + t_rel[Ph] * pts.idepth[:, None])
     z = jnp.where(jnp.abs(p3[:, 2]) < 1e-9, 1e-9, p3[:, 2])
     su = half_K[0] * p3[:, 0] / z + half_K[2]
     sv = half_K[1] * p3[:, 1] / z + half_K[3]
@@ -209,7 +211,8 @@ def activate_candidates(
     xh_i = (imm.u - cx) / fx
     yh_i = (imm.v - cy) / fy
     dirs_i = jnp.stack([xh_i, yh_i, jnp.ones_like(xh_i)], -1)
-    p3i = jnp.einsum("pij,pj->pi", R_rel[ih], dirs_i) + t_rel[ih] * idm[:, None]
+    p3i = (jnp.sum(R_rel[ih] * dirs_i[:, None, :], axis=-1)
+           + t_rel[ih] * idm[:, None])
     zi = jnp.where(jnp.abs(p3i[:, 2]) < 1e-9, 1e-9, p3i[:, 2])
     cu = half_K[0] * p3i[:, 0] / zi + half_K[2]
     cv = half_K[1] * p3i[:, 1] / zi + half_K[3]

@@ -147,6 +147,27 @@ class LoopCloser:
                               min_inliers=self.min_inliers,
                               init_R=jnp.eye(3, dtype=jnp.float32),
                               init_t=jnp.zeros(3, jnp.float32))
+        # the correction solver itself, at the first node/edge buckets a
+        # live run hits — the first FIRED loop otherwise pays a fresh
+        # pose-graph compile mid-run on the LC worker
+        for nb in (16, 32):
+            n = nb - 1
+            ei = jnp.arange(1, n, dtype=jnp.int32)
+            ej = jnp.arange(0, n - 1, dtype=jnp.int32)
+            I3 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                                  (n - 1, 3, 3))
+            pg = pg_mod.make_graph(
+                jnp.ones(n),
+                jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3)),
+                jnp.zeros((n, 3)), jnp.ones(n, bool), ei, ej,
+                (jnp.ones(n - 1), I3, jnp.zeros((n - 1, 3))),
+                weight=jnp.ones(n - 1))
+            pgp = pg_mod.pad_graph(pg, nb, pg_mod.bucket_size(n - 1))
+            s_, R_, t_ = pg_mod.optimize_pose_graph(pgp, n_iters=8,
+                                                    fix_scale=False)
+            jax.block_until_ready(
+                pg_mod.residuals(pgp, jnp.zeros((nb, 7))))
+            jax.block_until_ready((s_, R_, t_))
 
     def _score_padded(self, q_bow, vecs):
         """L1-score `q_bow` against a list of BoW vectors, padding the

@@ -156,6 +156,8 @@ class SLAMSystem:
         self._pc_blend = 0.3      # refit blend rate (see _photo_calib_step)
         self._pc_ring: deque = deque(maxlen=photo_calib_every)
         self._pc_params = None           # device PhotoParams after first fit
+        self._pc_window_resync = False   # first fit landed; window state
+                                         # must be re-corrected (mapping thread)
         self._pc_rms = None              # device scalar, pulled lazily
         self._inv_response = None        # (256,) device LUT
         self._inv_vignette = None        # (H, W) device map
@@ -579,6 +581,58 @@ class SLAMSystem:
             return params, rms, inv_resp, grad_w, inv_vig
 
         ns["_pc_fit"] = pc_fit
+
+        @jax.jit
+        def pc_resync_state(images, imm_color, imm_u, imm_v,
+                            pts_color, pts_u, pts_v, inv_resp, inv_vig):
+            """Re-correct the photometric state the window already holds
+            when the FIRST online-calibration fit switches the correction
+            on: the stored keyframe images (and their gradients), the
+            immature candidates' pattern colors, and the active points'
+            pattern colors were all built from UNCORRECTED frames — leaving
+            them stale photometrically de-syncs every new (corrected) frame
+            from the whole window (measured: coarse rmse 4-9 vs 0.5
+            baseline until the window cycles). Exact because the prior
+            correction was identity."""
+            from ..ops.pyramid import image_gradients
+            from ..ops.undistort import photometric_correct as pc
+
+            def fix_img(img3):
+                I = pc(img3[..., 0], inv_resp, inv_vig)
+                dx, dy = image_gradients(I)
+                return jnp.stack([I, dx, dy], -1)
+
+            images2 = jax.vmap(fix_img)(images)
+            pat = jnp.asarray(PATTERN, jnp.float32)
+
+            def fix_colors(c, u, v):
+                up = jnp.clip(u[:, None] + pat[None, :, 0], 0.0, width - 1.0)
+                vp = jnp.clip(v[:, None] + pat[None, :, 1], 0.0, height - 1.0)
+                vig = bilinear(inv_vig, up, vp)
+                return pc(c, inv_resp, None) * vig
+
+            return (images2, fix_colors(imm_color, imm_u, imm_v),
+                    fix_colors(pts_color, pts_u, pts_v))
+
+        ns["_pc_resync_state"] = pc_resync_state
+
+        @jax.jit
+        def pc_resync_template(tpl, inv_resp, inv_vig):
+            """Re-correct the live tracking template's colors (same first-
+            fit transient as pc_resync_state, but for the half of it the
+            TRACKING thread owns — the coarse tracker compares template
+            colors against corrected incoming frames)."""
+            from ..ops.undistort import photometric_correct as pc
+            new_colors = []
+            for lvl in range(len(tpl.color)):
+                f = float(1 << lvl)
+                u0 = jnp.clip(tpl.u[lvl] * f, 0.0, width - 1.0)
+                v0 = jnp.clip(tpl.v[lvl] * f, 0.0, height - 1.0)
+                vig = bilinear(inv_vig, u0, v0)
+                new_colors.append(pc(tpl.color[lvl], inv_resp, None) * vig)
+            return tpl._replace(color=new_colors)
+
+        ns["_pc_resync_template"] = pc_resync_template
 
         from ..ops.undistort import photometric_correct
         ns["_correct_img"] = jax.jit(photometric_correct)
@@ -1032,12 +1086,20 @@ class SLAMSystem:
             obs, r2, mask, jnp.asarray(exps), known=exp_known,
             params0=self._pc_params, warm=self._pc_params is not None)
         if self._inv_response is None:
-            # first fit: switch the correction on (ONE photometric
-            # transient — the window's stored keyframe images predate it
-            # and re-sync as keyframes cycle)
+            # first fit: switch the correction on AND re-correct the
+            # photometric state built before it existed. The template half
+            # is owned by this (tracking) thread and fixed here; the
+            # window/candidate half is owned by the mapping thread and
+            # rides its next keyframe step (_add_keyframe checks the flag).
             self._inv_response = inv_resp
             self._grad_weight = grad_w
             self._inv_vignette = inv_vig
+            if self.template is not None:
+                # calling thread owns self.template (tracking thread in
+                # pipelined mode, the single thread in sequential mode)
+                self.template = self._pc_resync_template(
+                    self.template, inv_resp, inv_vig)
+            self._pc_window_resync = True
         else:
             # later refits: BLEND into the applied correction instead of
             # swapping it — an abrupt LUT change photometrically de-syncs
@@ -1890,6 +1952,21 @@ class SLAMSystem:
                     self.shells[shell.tracking_ref].cam_to_world
                     @ shell.cam_to_ref
                 )
+
+        # first online-calibration fit landed since the last keyframe:
+        # re-correct the stored window images + candidate/point colors
+        # (this thread owns the window here; see _photo_calib_step)
+        if self._pc_window_resync:
+            self._pc_window_resync = False
+            imgs2, imm_c2, pts_c2 = self._pc_resync_state(
+                self.window.frames.images, self.imm.color, self.imm.u,
+                self.imm.v, self.window.points.color, self.window.points.u,
+                self.window.points.v, self._inv_response,
+                self._inv_vignette)
+            self.window = self.window._replace(
+                frames=self.window.frames._replace(images=imgs2),
+                points=self.window.points._replace(color=pts_c2))
+            self.imm = self.imm._replace(color=imm_c2)
 
         # --- host policy (flagFramesForMarginalization + density feedback)
         flagged = self._flag_frames_for_marg(shell)

@@ -30,11 +30,18 @@ class ActivationResult(NamedTuple):
 
 def _linearize_idepth(u, v, idepth, color, weights, host,
                       R_rel, t_rel, a_rel, b_rel, images,
-                      energy_th, slack, intr, cfg: Config):
+                      energy_th, slack, intr, cfg: Config,
+                      window_table=None):
     """One evaluation of all (candidate, target) residuals.
 
     Returns (energy (P,F), Hdd (P,), bd (P,), state_in (P,F), oob (P,F)).
     R_rel/t_rel: (F_host, F_target) relative current poses; indexed by host.
+
+    `window_table` (from ba.build_window_table on the same images): sample
+    the 8 taps + gradients from ONE gathered 12x12 window per (cand,
+    target) instead of 32 bilinear gather rows — TPU gathers are per-row
+    bound, and this LM runs `gn_iters_on_activation` sweeps per keyframe
+    (measured ~11 ms of the fused kf_step before, ~3 ms after).
     """
     P = u.shape[0]
     F = images.shape[0]
@@ -53,7 +60,8 @@ def _linearize_idepth(u, v, idepth, color, weights, host,
     xh = (up - cx) / fx
     yh = (vp - cy) / fy
     dirs = jnp.stack([xh, yh, jnp.ones_like(xh)], -1)    # (P, 8, 3)
-    rot = jnp.einsum("pfij,pkj->pfki", Rr, dirs)
+    # broadcast form, not einsum: (P,F)-batched 3x3 dots pad MXU tiles
+    rot = jnp.sum(Rr[:, :, None, :, :] * dirs[:, None, :, None, :], axis=-1)
     ptp = rot + tr[:, :, None, :] * idepth[:, None, None, None]
     drescale = 1.0 / jnp.where(jnp.abs(ptp[..., 2]) < 1e-12, 1e-12, ptp[..., 2])
     un = ptp[..., 0] * drescale
@@ -65,19 +73,26 @@ def _linearize_idepth(u, v, idepth, color, weights, host,
     )
     oob = ~jnp.all(ok_proj, axis=-1)                      # (P, F)
 
-    def gather_frame(img, KuF, KvF):
-        Kuc = jnp.clip(KuF, 0.0, Ww - 1.0)
-        Kvc = jnp.clip(KvF, 0.0, Hh - 1.0)
-        ix = jnp.clip(jnp.floor(Kuc).astype(jnp.int32), 0, Ww - 2)
-        iy = jnp.clip(jnp.floor(Kvc).astype(jnp.int32), 0, Hh - 2)
-        dxf = (Kuc - ix)[..., None]
-        dyf = (Kvc - iy)[..., None]
-        flat = img.reshape(-1, 3)
-        base = iy * Ww + ix
-        return ((flat[base] * (1 - dxf) + flat[base + 1] * dxf) * (1 - dyf)
-                + (flat[base + Ww] * (1 - dxf) + flat[base + Ww + 1] * dxf) * dyf)
+    if window_table is not None:
+        from .ba import _window_taps
+        hit_I, hit_dxr, hit_dyr, in_win = _window_taps(
+            window_table, Ku, Kv, Hh, Ww)
+        oob = oob | ~jnp.all(in_win, axis=-1)
+        hit = jnp.stack([hit_I, hit_dxr, hit_dyr], axis=-1)
+    else:
+        def gather_frame(img, KuF, KvF):
+            Kuc = jnp.clip(KuF, 0.0, Ww - 1.0)
+            Kvc = jnp.clip(KvF, 0.0, Hh - 1.0)
+            ix = jnp.clip(jnp.floor(Kuc).astype(jnp.int32), 0, Ww - 2)
+            iy = jnp.clip(jnp.floor(Kvc).astype(jnp.int32), 0, Hh - 2)
+            dxf = (Kuc - ix)[..., None]
+            dyf = (Kvc - iy)[..., None]
+            flat = img.reshape(-1, 3)
+            base = iy * Ww + ix
+            return ((flat[base] * (1 - dxf) + flat[base + 1] * dxf) * (1 - dyf)
+                    + (flat[base + Ww] * (1 - dxf) + flat[base + Ww + 1] * dxf) * dyf)
 
-    hit = jax.vmap(gather_frame, in_axes=(0, 1, 1), out_axes=1)(images, Ku, Kv)
+        hit = jax.vmap(gather_frame, in_axes=(0, 1, 1), out_axes=1)(images, Ku, Kv)
     residual = hit[..., 0] - (a_pf[..., None] * color[:, None, :] + b_pf[..., None])
     abs_r = jnp.abs(residual)
     hw = jnp.where(abs_r < cfg.huber_th, 1.0, cfg.huber_th / jnp.maximum(abs_r, 1e-12))
@@ -114,9 +129,16 @@ def activate_points(
     cand_valid: jnp.ndarray,  # (P,)
     cfg: Config,
     min_obs: int = 1,
+    window_table=None,
 ) -> ActivationResult:
     F = frames.valid.shape[0]
     intr = calib.value
+    if window_table is None:
+        # one gathered window row per (cand, target) instead of 32 bilinear
+        # gather rows per LM sweep; inside a fused kf_step XLA CSEs this
+        # with the BA's identical table
+        from .ba import build_window_table
+        window_table = build_window_table(frames.images)
 
     R_cur, t_cur = W.frame_poses(frames)
     Ri, ti = lie.se3_inverse(R_cur, t_cur)
@@ -142,6 +164,7 @@ def activate_points(
         e, Hdd, bd, s_in, oob = _linearize_idepth(
             u, v, idep, color, weights, host, R_rel, t_rel, a_rel, b_rel,
             frames.images, energy_th, slack, intr, cfg,
+            window_table=window_table,
         )
         s_in = s_in & grid
         e = jnp.where(grid, e, 0.0)

@@ -76,7 +76,9 @@ def trace_on(
 
     skip = (state.status == IPS_OOB) | ~point_valid
 
-    pr = jnp.einsum("pij,pj->pi", KRKi, jnp.stack([u, v, jnp.ones_like(u)], -1))
+    # broadcast form, not einsum: P-batched 3x3 dots pad MXU tiles
+    uv1 = jnp.stack([u, v, jnp.ones_like(u)], -1)
+    pr = jnp.sum(KRKi * uv1[:, None, :], axis=-1)
     ptp_min = pr + Kt * state.idepth_min[:, None]
     u_min = ptp_min[:, 0] / ptp_min[:, 2]
     v_min = ptp_min[:, 1] / ptp_min[:, 2]
@@ -115,8 +117,8 @@ def trace_on(
     dy = cfg.trace_step_size * (v_max - v_min)
     e = jnp.stack([dx, dy], -1)
     e_perp = jnp.stack([dy, -dx], -1)
-    a = jnp.einsum("pi,pij,pj->p", e, gradH, e)
-    b = jnp.einsum("pi,pij,pj->p", e_perp, gradH, e_perp)
+    a = jnp.sum(e[:, :, None] * gradH * e[:, None, :], axis=(1, 2))
+    b = jnp.sum(e_perp[:, :, None] * gradH * e_perp[:, None, :], axis=(1, 2))
     error_in_pixel = 0.2 + 0.2 * (a + b) / jnp.maximum(a, 1e-12)
     badcond = (error_in_pixel * cfg.trace_min_improvement_factor > dist) & has_max
     error_in_pixel = jnp.minimum(error_in_pixel, 10.0)
@@ -142,7 +144,8 @@ def trace_on(
     # rotated pattern (ImmaturePoint.cpp:181,188-190)
     pat = jnp.asarray(PATTERN, jnp.float32)                    # (8, 2)
     Rp = KRKi[:, :2, :2]                                       # (P, 2, 2)
-    rot_pat = jnp.einsum("pij,kj->pki", Rp, pat)               # (P, 8, 2)
+    # rot_pat[p,k,i] = sum_j Rp[p,i,j] pat[k,j] — broadcast, not einsum
+    rot_pat = jnp.sum(Rp[:, None, :, :] * pat[None, :, None, :], axis=-1)
 
     # --- discrete search: (P, S, 8) sample grid at stride 2
     S = (cfg.trace_max_steps + 1) // 2

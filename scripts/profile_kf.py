@@ -28,6 +28,8 @@ import numpy as np
 
 
 def timed(fn, reps=10):
+    """Wall-clock per dispatch (includes the tunnel round-trip — NOT
+    device time; see dev_ms for the honest number)."""
     import jax
     out = fn()
     jax.block_until_ready(out)          # compile + warm
@@ -36,6 +38,38 @@ def timed(fn, reps=10):
         out = fn()
         jax.block_until_ready(out)
     return (time.perf_counter() - t0) / reps * 1e3, out
+
+
+def dev_ms(fn, x0, n1=3, n2=13):
+    """Honest per-iteration DEVICE time of `fn` (ms): chains data-dependent
+    iterations inside one jitted fori_loop and differences two loop
+    lengths, so the ~20ms tunnel dispatch/fetch cost cancels
+    (utils/devtime.py). `fn` maps one float device array -> any pytree;
+    every other input it closes over stays loop-invariant."""
+    import jax
+    import jax.numpy as jnp
+    from hslam_tpu.utils.devtime import device_time
+
+    def body(x):
+        out = fn(x)
+        leaves = [l for l in jax.tree.leaves(out)
+                  if hasattr(l, "dtype")
+                  and jnp.issubdtype(l.dtype, jnp.floating)]
+        # sum EVERY floating leaf: a subset may not depend on the
+        # computation (e.g. candidate u/v pass through a trace update
+        # untouched) and a result-independent scalar lets XLA hoist the
+        # whole loop body
+        s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+        return x + s * jnp.float32(1e-30), s
+
+    # a phase much cheaper than dispatch jitter needs more chained
+    # iterations before the difference is resolvable — escalate on failure
+    for _ in range(3):
+        try:
+            return device_time(body, x0, n1=n1, n2=n2, reps=3) * 1e3
+        except RuntimeError:
+            n1, n2 = n1 * 8, n2 * 8
+    return device_time(body, x0, n1=n1, n2=n2, reps=3) * 1e3
 
 
 def main():
@@ -50,13 +84,13 @@ def main():
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(__file__))
-    from bench import H, W, FX, FY, CX, CY, make_frames
+    from bench import H, W, FX, FY, CX, CY, make_frames, make_renderer
 
     from hslam_tpu.config import Config
     from hslam_tpu.models.system import SLAMSystem
 
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
-    frames, _ = make_frames(args.frames)
+    frames, _ = make_frames(args.frames, make_renderer())
     cfg = Config(max_frames=8, max_points=2048, max_immature=2048,
                  pyr_levels=6)
     # pipelined warmup: the same kernel set bench.py compiles (and the
@@ -81,43 +115,46 @@ def main():
         slam.shells[slam.ref_shell_id].cam_to_world, jnp.float32)
 
     rows = []
+    imgf = jnp.asarray(np.asarray(frames[-1]), jnp.float32)
+    pyr, grads = slam._prep(img)
 
-    ms, out = timed(lambda: slam._prep(img), args.reps)
-    rows.append(("pyramid build (prep)", ms))
-    pyr, grads = out
+    rows.append(("pyramid build (prep)",
+                 dev_ms(lambda x: slam._prep(x), imgf)))
 
-    ms, tout = timed(lambda: slam._track_step(
-        slam.template, img, slam.calib.value, ref_c2w,
-        ref_c2w, ref_c2w, jnp.bool_(False), jnp.zeros(2),
-        jnp.float32(1.0), jnp.float32(1.0), jnp.zeros(2),
-        dt_ratio=jnp.float32(1.0)), args.reps)
-    rows.append(("track_step (fused frame tracking)", ms))
+    rows.append(("track_step (fused frame tracking)", dev_ms(
+        lambda x: slam._track_step(
+            slam.template, x, slam.calib.value, ref_c2w,
+            ref_c2w, ref_c2w, jnp.bool_(False), jnp.zeros(2),
+            jnp.float32(1.0), jnp.float32(1.0), jnp.zeros(2),
+            dt_ratio=jnp.float32(1.0)), imgf)))
 
-    ms, _ = timed(lambda: slam._select_px(
-        slam.selector_pot, pyr[0], grads,
-        int(cfg.desired_immature_density), 7), args.reps)
-    rows.append(("pixel selector", ms))
+    rows.append(("pixel selector", dev_ms(
+        lambda x: slam._select_px(
+            slam.selector_pot, x, grads,
+            int(cfg.desired_immature_density), 7), pyr[0])))
 
-    ms, _ = timed(lambda: slam._extract_feats(pyr[0][..., 0]), args.reps)
-    rows.append(("indirect features (FAST+rBRIEF)", ms))
+    rows.append(("indirect features (FAST+rBRIEF)", dev_ms(
+        lambda x: slam._extract_feats(x), pyr[0][..., 0])))
 
     Tw = np.linalg.inv(slam.shells[-1].cam_to_world)
-    ms, _ = timed(lambda: slam._trace_step(
-        slam.imm, slam.window.frames, slam.calib.value,
-        jnp.asarray(Tw[:3, :3], jnp.float32),
-        jnp.asarray(Tw[:3, 3], jnp.float32),
-        jnp.zeros(2), jnp.float32(1.0), pyr[0]), args.reps)
-    rows.append(("epipolar trace (all candidates)", ms))
+    rows.append(("epipolar trace (all candidates)", dev_ms(
+        lambda x: slam._trace_step(
+            slam.imm, slam.window.frames, slam.calib.value,
+            jnp.asarray(Tw[:3, :3], jnp.float32),
+            jnp.asarray(Tw[:3, 3], jnp.float32),
+            jnp.zeros(2), jnp.float32(1.0), x), pyr[0])))
 
-    ms, _ = timed(lambda: slam._ba(slam.window, slam.calib,
-                                   jnp.int32(cfg.max_opt_iterations)),
-                  args.reps)
-    rows.append((f"ba_optimize ({cfg.max_opt_iterations} GN iters)", ms))
+    wimg = slam.window.frames.images
+    rows.append((f"ba_optimize ({cfg.max_opt_iterations} GN iters)", dev_ms(
+        lambda x: slam._ba(
+            slam.window._replace(
+                frames=slam.window.frames._replace(images=x)),
+            slam.calib, jnp.int32(cfg.max_opt_iterations)), wimg, n2=8)))
 
-    ms, _ = timed(lambda: slam._map_cloud(
-        slam.window.frames, slam.window.points, slam.calib.value),
-        args.reps)
-    rows.append(("map cloud (viewer feed)", ms))
+    rows.append(("map cloud (viewer feed)", dev_ms(
+        lambda x: slam._map_cloud(
+            slam.window.frames, slam.window.points._replace(idepth=x),
+            slam.calib.value), slam.window.points.idepth)))
 
     # the whole fused kf_step (trace + insert + activation + BA + template
     # + marginalization + new traces) as ONE dispatch, state restored after
@@ -127,18 +164,19 @@ def main():
     F = cfg.max_frames
     free = np.flatnonzero(~np.asarray(slam.window.frames.valid))
     kf_slot = int(free[0]) if free.size else 0
-    ms, _ = timed(lambda: slam._kf_step(
-        slam.window, slam.calib, slam.imm, slam.feats, tuple(pyr),
-        jnp.asarray(Twc[:3, :3], jnp.float32),
-        jnp.asarray(Twc[:3, 3], jnp.float32),
-        jnp.zeros(2), jnp.float32(1.0),
-        jnp.int32(kf_slot), jnp.int32(slam.next_kf_id),
-        jnp.int32(slam.ref_slot),
-        jnp.asarray(np.zeros(F, bool)),
-        jnp.float32(slam.current_min_act_dist),
-        jnp.int32(cfg.max_opt_iterations),
-        sel[0], sel[1], sel[2], sel[3]), args.reps)
-    rows.append(("kf_step (whole fused KF dispatch)", ms))
+    rows.append(("kf_step (whole fused KF dispatch)", dev_ms(
+        lambda x: slam._kf_step(
+            slam.window, slam.calib, slam.imm, slam.feats,
+            (x,) + tuple(pyr[1:]),
+            jnp.asarray(Twc[:3, :3], jnp.float32),
+            jnp.asarray(Twc[:3, 3], jnp.float32),
+            jnp.zeros(2), jnp.float32(1.0),
+            jnp.int32(kf_slot), jnp.int32(slam.next_kf_id),
+            jnp.int32(slam.ref_slot),
+            jnp.asarray(np.zeros(F, bool)),
+            jnp.float32(slam.current_min_act_dist),
+            jnp.int32(cfg.max_opt_iterations),
+            sel[0], sel[1], sel[2], sel[3]), pyr[0], n2=8)))
 
     if args.trace:
         from jax import profiler
