@@ -102,6 +102,11 @@ class LoopCloser:
         self.mutual_rot_tol = 0.05
         self._prev_cand_kf: Optional[int] = None
         self._consist_count = 0
+        # geometrically verified (mutual-PnP-consistent) loops whose
+        # correction was refused only by the significance gate — a
+        # low-drift run legitimately closes 0 loops; this proves the
+        # detection chain was live
+        self.n_verified_insignificant = 0
         # optional jax.sharding.Mesh: KITTI-length relaxations shard their
         # edge set over it (parallel/dist_pose_graph.py)
         self.dist_mesh = dist_mesh
@@ -392,6 +397,11 @@ class LoopCloser:
             err_r = float(np.arccos(np.clip(cos_r, -1.0, 1.0)))
             min_t = self.min_loop_error_rel * self.run_scale()
             if err_t < min_t and err_r < self.min_loop_rot:
+                # geometrically VERIFIED loop whose correction would be
+                # below the PnP noise floor: count it — "pipeline live,
+                # no correction warranted" and "pipeline dead" must be
+                # distinguishable in the bench artifact
+                self.n_verified_insignificant += 1
                 _dbg(f"q{q.kf_id}: kf{cand.kf_id} below significance "
                      f"err_t={err_t:.4f} (min {min_t:.4f}) "
                      f"err_r={err_r:.4f}")

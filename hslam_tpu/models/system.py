@@ -1099,6 +1099,16 @@ class SLAMSystem:
                 # pipelined mode, the single thread in sequential mode)
                 self.template = self._pc_resync_template(
                     self.template, inv_resp, inv_vig)
+            # a template already staged for publication was also built
+            # pre-correction — fix it in place under the ref lock, or the
+            # next publish re-installs a stale one
+            if not self.sequential:
+                with self._ref_lock:
+                    if self._pending_ref is not None:
+                        tpl, slot_, sid_, aff_, exp_ = self._pending_ref
+                        self._pending_ref = (
+                            self._pc_resync_template(tpl, inv_resp, inv_vig),
+                            slot_, sid_, aff_, exp_)
             self._pc_window_resync = True
         else:
             # later refits: BLEND into the applied correction instead of
